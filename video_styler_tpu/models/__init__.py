@@ -1,0 +1,11 @@
+from .wan_dit import (
+    WanDiTConfig,
+    WAN_T2V_1_3B,
+    WAN_T2V_14B,
+    WAN_I2V_14B,
+    WAN_TI2V_5B,
+    WAN_DIT_TINY,
+    init_wan_dit,
+    wan_dit_forward,
+)
+from .wan_vace import VaceConfig, VACE_14B, VACE_1_3B, VACE_TINY, init_vace, vace_forward

@@ -1,0 +1,3 @@
+from .flow_match import FlowMatchScheduler
+from .ddim import EnhancedDDIMScheduler
+from .continuous_ode import ContinuousODEScheduler

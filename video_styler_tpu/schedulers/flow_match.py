@@ -1,0 +1,147 @@
+"""Rectified-flow (flow matching) scheduler, stateless and jit-friendly.
+
+Exact math parity with the reference FlowMatchScheduler
+(/root/reference/diffsynth/schedulers/flow_match.py:5-125):
+  sigmas   = shift*s / (1 + (shift-1)*s)   over linspace(sigma_start, sigma_min)
+  step     = x + v * (sigma_next - sigma)          (Euler)
+  add_noise= (1-sigma)*x + sigma*eps
+  target   = eps - x
+with optional exponential/dynamic shift and terminal-shift rescaling.
+
+Sigmas are plain float32 arrays computed eagerly at set_timesteps time
+(host-side numpy), so the denoise loop can close over them as constants.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class FlowMatchScheduler:
+
+    def __init__(
+        self,
+        num_inference_steps: int = 100,
+        num_train_timesteps: int = 1000,
+        shift: float = 3.0,
+        sigma_max: float = 1.0,
+        sigma_min: float = 0.003 / 1.002,
+        inverse_timesteps: bool = False,
+        extra_one_step: bool = False,
+        reverse_sigmas: bool = False,
+        exponential_shift: bool = False,
+        exponential_shift_mu: Optional[float] = None,
+        shift_terminal: Optional[float] = None,
+    ):
+        self.num_train_timesteps = num_train_timesteps
+        self.shift = shift
+        self.sigma_max = sigma_max
+        self.sigma_min = sigma_min
+        self.inverse_timesteps = inverse_timesteps
+        self.extra_one_step = extra_one_step
+        self.reverse_sigmas = reverse_sigmas
+        self.exponential_shift = exponential_shift
+        self.exponential_shift_mu = exponential_shift_mu
+        self.shift_terminal = shift_terminal
+        self.training = False
+        self.set_timesteps(num_inference_steps)
+
+    def set_timesteps(
+        self,
+        num_inference_steps: int = 100,
+        denoising_strength: float = 1.0,
+        training: bool = False,
+        shift: Optional[float] = None,
+        dynamic_shift_len: Optional[int] = None,
+        exponential_shift_mu: Optional[float] = None,
+    ):
+        if shift is not None:
+            self.shift = shift
+        sigma_start = self.sigma_min + (self.sigma_max - self.sigma_min) * denoising_strength
+        if self.extra_one_step:
+            sigmas = np.linspace(sigma_start, self.sigma_min, num_inference_steps + 1,
+                                 dtype=np.float64)[:-1]
+        else:
+            sigmas = np.linspace(sigma_start, self.sigma_min, num_inference_steps,
+                                 dtype=np.float64)
+        if self.inverse_timesteps:
+            sigmas = sigmas[::-1].copy()
+        if self.exponential_shift:
+            if exponential_shift_mu is not None:
+                mu = exponential_shift_mu
+            elif dynamic_shift_len is not None:
+                mu = self.calculate_shift(dynamic_shift_len)
+            else:
+                mu = self.exponential_shift_mu
+            sigmas = math.exp(mu) / (math.exp(mu) + (1.0 / sigmas - 1.0))
+        else:
+            sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
+        if self.shift_terminal is not None:
+            one_minus_z = 1 - sigmas
+            scale_factor = one_minus_z[-1] / (1 - self.shift_terminal)
+            sigmas = 1 - (one_minus_z / scale_factor)
+        if self.reverse_sigmas:
+            sigmas = 1 - sigmas
+        self.sigmas = sigmas.astype(np.float32)
+        self.timesteps = (sigmas * self.num_train_timesteps).astype(np.float32)
+        if training:
+            x = self.timesteps.astype(np.float64)
+            y = np.exp(-2 * ((x - num_inference_steps / 2) / num_inference_steps) ** 2)
+            y_shifted = y - y.min()
+            self.linear_timesteps_weights = (
+                y_shifted * (num_inference_steps / y_shifted.sum())
+            ).astype(np.float32)
+            self.training = True
+        else:
+            self.training = False
+
+    # -- index helpers -------------------------------------------------------
+
+    def _timestep_id(self, timestep) -> int:
+        return int(np.argmin(np.abs(self.timesteps - float(np.asarray(timestep)))))
+
+    def sigma_pair(self, timestep_id: int, to_final: bool = False):
+        """(sigma, sigma_next) for a step index — static Python floats so the
+        denoise loop stays retrace-free with scalar closure constants."""
+        sigma = float(self.sigmas[timestep_id])
+        if to_final or timestep_id + 1 >= len(self.timesteps):
+            sigma_ = 1.0 if (self.inverse_timesteps or self.reverse_sigmas) else 0.0
+        else:
+            sigma_ = float(self.sigmas[timestep_id + 1])
+        return sigma, sigma_
+
+    # -- reference-compatible API -------------------------------------------
+
+    def step(self, model_output, timestep, sample, to_final: bool = False):
+        sigma, sigma_ = self.sigma_pair(self._timestep_id(timestep), to_final)
+        return sample + model_output * (sigma_ - sigma)
+
+    def return_to_timestep(self, timestep, sample, sample_stablized):
+        sigma = float(self.sigmas[self._timestep_id(timestep)])
+        return (sample - sample_stablized) / sigma
+
+    def add_noise(self, original_samples, noise, timestep):
+        sigma = float(self.sigmas[self._timestep_id(timestep)])
+        return (1 - sigma) * original_samples + sigma * noise
+
+    def training_target(self, sample, noise, timestep=None):
+        return noise - sample
+
+    def training_weight(self, timestep):
+        return jnp.asarray(
+            self.linear_timesteps_weights[self._timestep_id(timestep)])
+
+    def calculate_shift(
+        self,
+        image_seq_len: int,
+        base_seq_len: int = 256,
+        max_seq_len: int = 8192,
+        base_shift: float = 0.5,
+        max_shift: float = 0.9,
+    ) -> float:
+        m = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+        b = base_shift - m * base_seq_len
+        return image_seq_len * m + b
