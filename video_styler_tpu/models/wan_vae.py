@@ -1,0 +1,404 @@
+"""Wan causal 3D video VAE (8x8 spatial, 4x temporal compression, z=16).
+
+TPU-native re-design of the reference WanVideoVAE
+(/root/reference/diffsynth/models/wan_video_vae.py:33-1247). The reference
+streams 1+4k frame chunks through mutable per-conv `feat_cache` rings; here
+the entire clip is processed as ONE jittable XLA graph of causal convolutions.
+The two are mathematically identical:
+
+  - CausalConv3d with chunked cache == full-sequence conv with zero left-pad
+    (2 frames for kernel_t=3) — the cache feeds exactly the preceding frames.
+  - Encoder `downsample3d` (Resample, wan_video_vae.py:162-173): the first
+    frame bypasses the stride-2 time conv (it is cached, not convolved), and
+    subsequent 4-frame chunks conv over [prev_last, chunk]. Full-sequence
+    equivalent: out = concat([x[:, :, :1], conv_stride2_nopad(x)]) — windows
+    start at frame 0 with stride 2.
+  - Decoder `upsample3d` (wan_video_vae.py:122-156): latent frame 0 bypasses
+    the 2x time conv ('Rep' marker) and frames 1.. are causally convolved
+    with zero history. Full-sequence equivalent:
+    out = concat([x[:, :, :1], interleave2(causal_conv(x[:, :, 1:]))]).
+
+Param pytrees mirror the torch module tree verbatim (state dicts nest by
+name), so checkpoint conversion is a pure re-nesting + dtype cast.
+
+Spatial tiled encode/decode with linear-ramp blend masks reproduces
+tiled_encode/tiled_decode (wan_video_vae.py:1103-1203) with accumulation on
+host; the per-tile compute is the jitted full-sequence graph.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CACHE_T = 2
+
+# Latent normalization (wan_video_vae.py:1063-1073)
+WAN21_LATENT_MEAN = (
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921)
+WAN21_LATENT_STD = (
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160)
+
+
+@dataclass(frozen=True)
+class WanVAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+    latent_mean: Tuple[float, ...] = WAN21_LATENT_MEAN
+    latent_std: Tuple[float, ...] = WAN21_LATENT_STD
+
+    @property
+    def temperal_upsample(self):
+        return tuple(reversed(self.temperal_downsample))
+
+    @property
+    def upsampling_factor(self) -> int:
+        return 2 ** (len(self.dim_mult) - 1)
+
+
+WAN21_VAE = WanVAEConfig()
+# tiny CPU-testable config
+WAN_VAE_TINY = WanVAEConfig(dim=16, z_dim=4, dim_mult=(1, 2, 4, 4),
+                            num_res_blocks=1,
+                            latent_mean=(0.0,) * 4, latent_std=(1.0,) * 4)
+
+
+# --------------------------------------------------------------------------
+# Primitive layers (params follow torch naming: {"weight", "bias", "gamma"})
+# --------------------------------------------------------------------------
+
+def conv3d(p, x, stride=(1, 1, 1), padding=((0, 0), (0, 0), (0, 0))):
+    """lax conv with torch OIDHW weights; fp32 accumulation."""
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)[None, :, None, None, None]
+    return y.astype(x.dtype)
+
+
+def causal_conv3d(p, x, stride=(1, 1, 1)):
+    """CausalConv3d (wan_video_vae.py:33-52): zero left-pad 2*pad_t in time,
+    symmetric spatial padding, derived from the kernel shape."""
+    kt, kh, kw = p["weight"].shape[2:]
+    pt, ph, pw = (kt - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    return conv3d(p, x, stride=stride,
+                  padding=((2 * pt, 0), (ph, ph), (pw, pw)))
+
+
+def conv2d_on_frames(p, x, stride=(1, 1), padding=((0, 0), (0, 0))):
+    """Conv2d applied per-frame on (B, C, T, H, W) as a (1, kh, kw) conv3d."""
+    w = p["weight"][:, :, None]  # (O, I, 1, kh, kw)
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1,) + tuple(stride),
+        padding=((0, 0),) + tuple(padding),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)[None, :, None, None, None]
+    return y.astype(x.dtype)
+
+
+def rms_norm_spatial(p, x, eps: float = 1e-12):
+    """RMS_norm (wan_video_vae.py:55-70): F.normalize along the channel dim
+    times sqrt(dim) * gamma. gamma broadcast shape comes from the checkpoint."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=1, keepdims=True))
+    scale = x.shape[1] ** 0.5
+    y = (xf / jnp.maximum(norm, eps)) * scale
+    gamma = p["gamma"].astype(jnp.float32)
+    while gamma.ndim < y.ndim - 1:
+        gamma = gamma[..., None]
+    y = y * gamma[None]
+    return y.astype(x.dtype)
+
+
+def _silu(x):
+    return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def residual_block(p, x):
+    """ResidualBlock (wan_video_vae.py:267-301)."""
+    if "shortcut" in p:
+        h = causal_conv3d(p["shortcut"], x)
+    else:
+        h = x
+    y = rms_norm_spatial(p["residual"]["0"], x)
+    y = _silu(y)
+    y = causal_conv3d(p["residual"]["2"], y)
+    y = rms_norm_spatial(p["residual"]["3"], y)
+    y = _silu(y)
+    y = causal_conv3d(p["residual"]["6"], y)
+    return y + h
+
+
+def attention_block(p, x):
+    """Single-head per-frame spatial attention (wan_video_vae.py:304-342)."""
+    b, c, t, h, w = x.shape
+    identity = x
+    y = rms_norm_spatial(p["norm"], x)
+    qkv = conv2d_on_frames(p["to_qkv"], y)                       # (B, 3C, T, H, W)
+    qkv = qkv.transpose(0, 2, 1, 3, 4).reshape(b * t, 3 * c, h * w)
+    q, k, v = jnp.split(qkv.transpose(0, 2, 1), 3, axis=-1)      # (BT, HW, C)
+    scale = 1.0 / np.sqrt(c)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1).reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
+    out = conv2d_on_frames(p["proj"], out)
+    return out + identity
+
+
+def upsample_nearest_2x(x):
+    """nearest-exact 2x spatial upsample == pixel duplication for factor 2."""
+    x = jnp.repeat(x, 2, axis=-2)
+    return jnp.repeat(x, 2, axis=-1)
+
+
+def resample(p, x, mode: str):
+    """Resample (wan_video_vae.py:82-174) in full-sequence form."""
+    if mode == "upsample3d":
+        # temporal 2x: frame 0 passthrough, frames 1.. causal conv -> interleave
+        head_f = x[:, :, :1]
+        rest = x[:, :, 1:]
+        if rest.shape[2] > 0:
+            y = causal_conv3d(p["time_conv"], rest)              # (B, 2C, T-1, H, W)
+            b, c2, tm1, h, w = y.shape
+            c = c2 // 2
+            y = y.reshape(b, 2, c, tm1, h, w)
+            y = jnp.stack([y[:, 0], y[:, 1]], axis=3)            # (B, C, T-1, 2, H, W)
+            y = y.reshape(b, c, tm1 * 2, h, w)
+            x = jnp.concatenate([head_f, y], axis=2)
+        else:
+            x = head_f
+        x = upsample_nearest_2x(x)
+        return conv2d_on_frames(p["resample"]["1"], x, padding=((1, 1), (1, 1)))
+    if mode == "upsample2d":
+        x = upsample_nearest_2x(x)
+        return conv2d_on_frames(p["resample"]["1"], x, padding=((1, 1), (1, 1)))
+    if mode == "downsample2d":
+        # ZeroPad2d((0,1,0,1)) then 3x3 stride-2
+        return conv2d_on_frames(p["resample"]["1"], x, stride=(2, 2),
+                                padding=((0, 1), (0, 1)))
+    if mode == "downsample3d":
+        x = conv2d_on_frames(p["resample"]["1"], x, stride=(2, 2),
+                             padding=((0, 1), (0, 1)))
+        # temporal 2x down: frame 0 passthrough, stride-2 kernel-3 conv from
+        # frame 0 (windows (0,1,2), (2,3,4), ...)
+        head_f = x[:, :, :1]
+        if x.shape[2] > 2:
+            y = conv3d(p["time_conv"], x, stride=(2, 1, 1),
+                       padding=((0, 0), (0, 0), (0, 0)))
+            return jnp.concatenate([head_f, y], axis=2)
+        return head_f
+    raise ValueError(mode)
+
+
+# --------------------------------------------------------------------------
+# Encoder / decoder
+# --------------------------------------------------------------------------
+
+def _encoder_plan(cfg: WanVAEConfig):
+    """Module sequence of Encoder3d.downsamples (wan_video_vae.py:543-558)."""
+    plan = []
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks):
+            plan.append(("res", None))
+        if i != len(cfg.dim_mult) - 1:
+            mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+            plan.append(("resample", mode))
+    return plan
+
+
+def _decoder_plan(cfg: WanVAEConfig):
+    """Module sequence of Decoder3d.upsamples (wan_video_vae.py:766-783)."""
+    plan = []
+    for i in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks + 1):
+            plan.append(("res", None))
+        if i != len(cfg.dim_mult) - 1:
+            mode = "upsample3d" if cfg.temperal_upsample[i] else "upsample2d"
+            plan.append(("resample", mode))
+    return plan
+
+
+def encoder3d(p, x, cfg: WanVAEConfig):
+    x = causal_conv3d(p["conv1"], x)
+    for idx, (kind, mode) in enumerate(_encoder_plan(cfg)):
+        mp = p["downsamples"][str(idx)]
+        x = residual_block(mp, x) if kind == "res" else resample(mp, x, mode)
+    x = residual_block(p["middle"]["0"], x)
+    x = attention_block(p["middle"]["1"], x)
+    x = residual_block(p["middle"]["2"], x)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    return causal_conv3d(p["head"]["2"], x)
+
+
+def decoder3d(p, x, cfg: WanVAEConfig):
+    x = causal_conv3d(p["conv1"], x)
+    x = residual_block(p["middle"]["0"], x)
+    x = attention_block(p["middle"]["1"], x)
+    x = residual_block(p["middle"]["2"], x)
+    for idx, (kind, mode) in enumerate(_decoder_plan(cfg)):
+        mp = p["upsamples"][str(idx)]
+        x = residual_block(mp, x) if kind == "res" else resample(mp, x, mode)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    return causal_conv3d(p["head"]["2"], x)
+
+
+def vae_encode(params, video, cfg: WanVAEConfig = WAN21_VAE):
+    """video (B, 3, T, H, W) in [-1, 1] -> normalized latents
+    (B, z, 1+(T-1)/4, H/8, W/8). Matches VideoVAE_.encode
+    (wan_video_vae.py:984-1009) including the mean/std scaling."""
+    out = encoder3d(params["encoder"], video, cfg)
+    moments = causal_conv3d(params["conv1"], out)
+    mu = moments[:, :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)[None, :, None, None, None]
+    return (mu - mean) * inv_std
+
+
+def vae_decode(params, z, cfg: WanVAEConfig = WAN21_VAE, clamp: bool = True):
+    """normalized latents -> video (B, 3, T, H, W). Matches VideoVAE_.decode
+    (wan_video_vae.py:1011-1034)."""
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)[None, :, None, None, None]
+    std = jnp.asarray(cfg.latent_std, z.dtype)[None, :, None, None, None]
+    z = z * std + mean
+    x = causal_conv3d(params["conv2"], z)
+    video = decoder3d(params["decoder"], x, cfg)
+    if clamp:
+        video = jnp.clip(video, -1.0, 1.0)
+    return video
+
+
+# --------------------------------------------------------------------------
+# Tiled encode/decode (spatial tiles, ramp-blended) — wan_video_vae.py:1081-1203
+# --------------------------------------------------------------------------
+
+def _build_1d_mask(length, left_bound, right_bound, border_width):
+    x = np.ones((length,), np.float32)
+    if border_width > 0:
+        if not left_bound:
+            x[:border_width] = (np.arange(border_width) + 1) / border_width
+        if not right_bound:
+            x[-border_width:] = ((np.arange(border_width) + 1) / border_width)[::-1]
+    return x
+
+
+def _build_mask(h_size, w_size, is_bound, border_width):
+    h = _build_1d_mask(h_size, is_bound[0], is_bound[1], border_width[0])
+    w = _build_1d_mask(w_size, is_bound[2], is_bound[3], border_width[1])
+    return np.minimum(h[:, None], w[None, :])[None, None, None]
+
+
+def _tile_tasks(H, W, size_h, size_w, stride_h, stride_w):
+    tasks = []
+    for h in range(0, H, stride_h):
+        if h - stride_h >= 0 and h - stride_h + size_h >= H:
+            continue
+        for w in range(0, W, stride_w):
+            if w - stride_w >= 0 and w - stride_w + size_w >= W:
+                continue
+            tasks.append((h, min(h + size_h, H), w, min(w + size_w, W)))
+    return tasks
+
+
+def tiled_encode(params, video, cfg: WanVAEConfig = WAN21_VAE,
+                 tile_size=(34, 34), tile_stride=(18, 16)):
+    """Spatially tiled encode; tile sizes are in latent units like the
+    reference API (multiplied by the 8x upsampling factor internally)."""
+    up = cfg.upsampling_factor
+    size_h, size_w = tile_size[0] * up, tile_size[1] * up
+    stride_h, stride_w = tile_stride[0] * up, tile_stride[1] * up
+    B, C, T, H, W = video.shape
+    out_T = (T + 3) // 4
+    values = np.zeros((B, cfg.z_dim, out_T, H // up, W // up), np.float32)
+    weight = np.zeros((1, 1, 1, H // up, W // up), np.float32)
+    for h, h_, w, w_ in _tile_tasks(H, W, size_h, size_w, stride_h, stride_w):
+        tile = video[:, :, :, h:h_, w:w_]
+        lat = np.asarray(vae_encode(params, tile, cfg), np.float32)
+        mask = _build_mask(lat.shape[3], lat.shape[4],
+                           (h == 0, h_ >= H, w == 0, w_ >= W),
+                           ((size_h - stride_h) // up, (size_w - stride_w) // up))
+        th, tw = h // up, w // up
+        values[:, :, :, th:th + lat.shape[3], tw:tw + lat.shape[4]] += lat * mask
+        weight[:, :, :, th:th + lat.shape[3], tw:tw + lat.shape[4]] += mask
+    return jnp.asarray(values / weight)
+
+
+def tiled_decode(params, z, cfg: WanVAEConfig = WAN21_VAE,
+                 tile_size=(34, 34), tile_stride=(18, 16)):
+    up = cfg.upsampling_factor
+    size_h, size_w = tile_size
+    stride_h, stride_w = tile_stride
+    B, C, T, H, W = z.shape
+    out_T = T * 4 - 3
+    values = np.zeros((B, 3, out_T, H * up, W * up), np.float32)
+    weight = np.zeros((1, 1, 1, H * up, W * up), np.float32)
+    for h, h_, w, w_ in _tile_tasks(H, W, size_h, size_w, stride_h, stride_w):
+        tile = z[:, :, :, h:h_, w:w_]
+        vid = np.asarray(vae_decode(params, tile, cfg, clamp=False), np.float32)
+        mask = _build_mask(vid.shape[3], vid.shape[4],
+                           (h == 0, h_ >= H, w == 0, w_ >= W),
+                           ((size_h - stride_h) * up, (size_w - stride_w) * up))
+        th, tw = h * up, w * up
+        values[:, :, :, th:th + vid.shape[3], tw:tw + vid.shape[4]] += vid * mask
+        weight[:, :, :, th:th + vid.shape[3], tw:tw + vid.shape[4]] += mask
+    return jnp.clip(jnp.asarray(values / weight), -1.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Public API mirroring WanVideoVAE.encode/decode (wan_video_vae.py:1218-1247)
+# --------------------------------------------------------------------------
+
+def encode(params, video, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
+           tile_size=(34, 34), tile_stride=(18, 16)):
+    if tiled:
+        return tiled_encode(params, video, cfg, tile_size, tile_stride)
+    return vae_encode(params, video, cfg)
+
+
+def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
+           tile_size=(34, 34), tile_stride=(18, 16)):
+    if tiled:
+        return tiled_decode(params, z, cfg, tile_size, tile_stride)
+    return vae_decode(params, z, cfg)
+
+
+# --------------------------------------------------------------------------
+# Converter: torch state dict -> nested pytree (names preserved)
+# --------------------------------------------------------------------------
+
+def convert_wan_vae(sd: Dict, dtype=jnp.float32):
+    """Nest 'model.encoder.downsamples.0.residual.2.weight' style keys into a
+    pytree; the forward functions consume the same structure. Accepts state
+    dicts with or without the leading 'model.' prefix."""
+    import numpy as _np
+    root: Dict = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        if parts[0] == "model":
+            parts = parts[1:]
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if hasattr(val, "detach"):
+            val = val.detach().to_dense().float().cpu().numpy()
+        node[parts[-1]] = jnp.asarray(_np.asarray(val), dtype)
+    return root
