@@ -1,0 +1,76 @@
+"""Flash attention: interpret-mode kernel parity + chunked fallback parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_styler_tpu.ops.attention import sdpa
+from video_styler_tpu.ops.flash_attention import (
+    chunked_attention, _flash_fwd_3d, flash_attention,
+)
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("sq,sk", [(128, 128), (200, 200), (256, 64), (300, 512)])
+def test_chunked_matches_sdpa(sq, sk):
+    q = _rand(0, (2, sq, 4, 32))
+    k = _rand(1, (2, sk, 4, 32))
+    v = _rand(2, (2, sk, 4, 32))
+    want = np.asarray(sdpa(q, k, v))
+    b, _, n, d = q.shape
+    q3 = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    k3 = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    v3 = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    got = chunked_attention(q3, k3, v3, 1.0 / np.sqrt(d), block_k=128)
+    got = np.asarray(got.reshape(b, n, sq, d).transpose(0, 2, 1, 3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_gradients_match_sdpa():
+    q = _rand(0, (1, 64, 2, 16))
+    k = _rand(1, (1, 80, 2, 16))
+    v = _rand(2, (1, 80, 2, 16))
+    scale = 1.0 / np.sqrt(16)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(sdpa(q, k, v)))
+
+    def loss_chunked(q, k, v):
+        b, sq, n, d = q.shape
+        q3 = q.transpose(0, 2, 1, 3).reshape(-1, sq, d)
+        k3 = k.transpose(0, 2, 1, 3).reshape(-1, k.shape[1], d)
+        v3 = v.transpose(0, 2, 1, 3).reshape(-1, v.shape[1], d)
+        out = chunked_attention(q3, k3, v3, scale, block_k=32)
+        return jnp.sum(jnp.square(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
+def test_pallas_kernel_interpret_mode(sq, sk, monkeypatch):
+    """Run the actual Pallas kernel in interpreter mode on CPU."""
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    q = _rand(0, (2, sq, 32))
+    k = _rand(1, (2, sk, 32))
+    v = _rand(2, (2, sk, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_3d(q, k, v, scale, block_q=128, block_k=128))
+    want = np.asarray(chunked_attention(q, k, v, scale, block_k=128))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

