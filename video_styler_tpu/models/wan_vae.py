@@ -382,6 +382,110 @@ def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
 
 
 # --------------------------------------------------------------------------
+# Random init (tests / smoke runs without checkpoints)
+# --------------------------------------------------------------------------
+
+def _init_conv(key, out_c, in_c, k=(3, 3, 3), dtype=jnp.float32):
+    import math as _m
+    fan_in = in_c * int(np.prod(k))
+    std = 1.0 / _m.sqrt(fan_in)
+    return {"weight": (jax.random.normal(key, (out_c, in_c) + tuple(k), jnp.float32)
+                       * std).astype(dtype),
+            "bias": jnp.zeros((out_c,), dtype)}
+
+
+def _init_conv2d(key, out_c, in_c, k=(3, 3), dtype=jnp.float32):
+    return _init_conv(key, out_c, in_c, k=k, dtype=dtype)
+
+
+def _init_norm(c, images=False, dtype=jnp.float32):
+    shape = (c, 1, 1) if images else (c, 1, 1, 1)
+    return {"gamma": jnp.ones(shape, dtype)}
+
+
+def _init_res(key, in_c, out_c, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {"residual": {
+        "0": _init_norm(in_c, dtype=dtype),
+        "2": _init_conv(k1, out_c, in_c, dtype=dtype),
+        "3": _init_norm(out_c, dtype=dtype),
+        "6": _init_conv(k2, out_c, out_c, dtype=dtype),
+    }}
+    if in_c != out_c:
+        p["shortcut"] = _init_conv(k3, out_c, in_c, k=(1, 1, 1), dtype=dtype)
+    return p
+
+
+def _init_attn_block(key, c, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"norm": _init_norm(c, images=True, dtype=dtype),
+            "to_qkv": _init_conv2d(k1, c * 3, c, k=(1, 1), dtype=dtype),
+            "proj": _init_conv2d(k2, c, c, k=(1, 1), dtype=dtype)}
+
+
+def init_wan_vae(key, cfg: WanVAEConfig = WAN21_VAE, dtype=jnp.float32):
+    """Random-init param pytree with the checkpoint structure."""
+    keys = iter(jax.random.split(key, 256))
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    enc_down = {}
+    idx = 0
+    in_c = dims[0]
+    for i in range(len(cfg.dim_mult)):
+        out_c = dims[i + 1]
+        for _ in range(cfg.num_res_blocks):
+            enc_down[str(idx)] = _init_res(next(keys), in_c, out_c, dtype)
+            in_c = out_c
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            p = {"resample": {"1": _init_conv2d(next(keys), out_c, out_c, dtype=dtype)}}
+            if cfg.temperal_downsample[i]:
+                p["time_conv"] = _init_conv(next(keys), out_c, out_c, k=(3, 1, 1), dtype=dtype)
+            enc_down[str(idx)] = p
+            idx += 1
+    enc_out = dims[-1]
+    encoder = {
+        "conv1": _init_conv(next(keys), dims[0], 3, dtype=dtype),
+        "downsamples": enc_down,
+        "middle": {"0": _init_res(next(keys), enc_out, enc_out, dtype),
+                   "1": _init_attn_block(next(keys), enc_out, dtype),
+                   "2": _init_res(next(keys), enc_out, enc_out, dtype)},
+        "head": {"0": _init_norm(enc_out, dtype=dtype),
+                 "2": _init_conv(next(keys), cfg.z_dim * 2, enc_out, dtype=dtype)},
+    }
+    ddims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    dec_up = {}
+    idx = 0
+    for i in range(len(cfg.dim_mult)):
+        in_c = ddims[i] // 2 if i in (1, 2, 3) else ddims[i]
+        out_c = ddims[i + 1]
+        for _ in range(cfg.num_res_blocks + 1):
+            dec_up[str(idx)] = _init_res(next(keys), in_c, out_c, dtype)
+            in_c = out_c
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            p = {"resample": {"1": _init_conv2d(next(keys), out_c // 2, out_c, dtype=dtype)}}
+            if cfg.temperal_upsample[i]:
+                p["time_conv"] = _init_conv(next(keys), out_c * 2, out_c, k=(3, 1, 1), dtype=dtype)
+            dec_up[str(idx)] = p
+            idx += 1
+    decoder = {
+        "conv1": _init_conv(next(keys), ddims[0], cfg.z_dim, dtype=dtype),
+        "middle": {"0": _init_res(next(keys), ddims[0], ddims[0], dtype),
+                   "1": _init_attn_block(next(keys), ddims[0], dtype),
+                   "2": _init_res(next(keys), ddims[0], ddims[0], dtype)},
+        "upsamples": dec_up,
+        "head": {"0": _init_norm(ddims[-1], dtype=dtype),
+                 "2": _init_conv(next(keys), 3, ddims[-1], dtype=dtype)},
+    }
+    return {
+        "encoder": encoder,
+        "conv1": _init_conv(next(keys), cfg.z_dim * 2, cfg.z_dim * 2, k=(1, 1, 1), dtype=dtype),
+        "conv2": _init_conv(next(keys), cfg.z_dim, cfg.z_dim, k=(1, 1, 1), dtype=dtype),
+        "decoder": decoder,
+    }
+
+
+# --------------------------------------------------------------------------
 # Converter: torch state dict -> nested pytree (names preserved)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,458 @@
+"""WanVideoPipeline: text/video/VACE -> video, TPU-native.
+
+Re-design of the reference WanVideoPipeline
+(/root/reference/diffsynth/pipelines/wan_video_new.py:32-1571). The 20
+PipelineUnits become pure preprocessing functions filling a conditioning
+dict; the denoise loop is a Python loop over 50 steps driving jitted model
+functions (static shapes -> one compile, no retraces), with:
+
+  - CFG via two forwards inside one jitted step (or cfg_merge batching)
+  - TeaCache step skipping (trunk-token residual reuse, :1154-1203)
+  - dual-DiT expert switching at `switch_DiT_boundary` (:519-523)
+  - VACE hint injection (vace_context build at :861-920)
+  - tiled VAE encode/decode
+
+vram_management is gone: params live in HBM (sharded over the mesh when a
+ShardingContext is active).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import wan_dit as M
+from ..models.wan_dit import WanDiTConfig
+from ..models.wan_vace import VaceConfig, vace_forward
+from ..models import wan_vae as V
+from ..models.t5 import T5Config, UMT5_XXL, t5_encode
+from ..ops.rope import assemble_freqs_grid
+from ..schedulers import FlowMatchScheduler
+from ..utils import ckpt as C
+from ..utils.convert import convert_wan_dit, convert_vace
+from ..lora import merge_lora
+from ..prompters.wan_prompter import WanPrompter
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Declarative weight source (utils/__init__.py:158-218 analog).
+
+    Only local paths here — no ModelScope download in this environment; pass
+    `path` (file or list of shard files).
+    """
+    path: Union[str, List[str], None] = None
+    model_kind: Optional[str] = None  # dit | dit2 | vace | vae | t5 | clip
+
+    def paths(self) -> List[str]:
+        if self.path is None:
+            return []
+        return [self.path] if isinstance(self.path, str) else list(self.path)
+
+
+def _preprocess_images(images, dtype=np.float32) -> np.ndarray:
+    """PIL list -> (1, 3, T, H, W) in [-1, 1] (utils/__init__.py:61-75)."""
+    arr = np.stack([np.asarray(im, dtype=np.float32) for im in images])
+    arr = arr * (2.0 / 255.0) - 1.0
+    return arr.transpose(3, 0, 1, 2)[None].astype(dtype)
+
+
+def generate_noise(shape, seed=None, dtype=np.float32) -> np.ndarray:
+    """Seeded Gaussian noise, bit-exact with the reference
+    (utils/__init__.py:117-122: torch CPU fp32 randn)."""
+    try:
+        import torch
+        gen = None if seed is None else torch.Generator("cpu").manual_seed(seed)
+        return torch.randn(shape, generator=gen, dtype=torch.float32).numpy()
+    except ImportError:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        return np.asarray(jax.random.normal(key, shape, jnp.float32))
+
+
+class TeaCache:
+    """Per-branch step skipper (wan_video_new.py:1154-1203)."""
+
+    COEFFS = {
+        "Wan2.1-T2V-1.3B": [-5.21862437e+04, 9.23041404e+03, -5.28275948e+02, 1.36987616e+01, -4.99875664e-02],
+        "Wan2.1-T2V-14B": [-3.03318725e+05, 4.90537029e+04, -2.65530556e+03, 5.87365115e+01, -3.15583525e-01],
+        "Wan2.1-I2V-14B-480P": [2.57151496e+05, -3.54229917e+04, 1.40286849e+03, -1.35890334e+01, 1.32517977e-01],
+        "Wan2.1-I2V-14B-720P": [8.10705460e+03, 2.13393892e+03, -3.72934672e+02, 1.66203073e+01, -4.17769401e-02],
+    }
+
+    def __init__(self, num_inference_steps: int, rel_l1_thresh: float, model_id: str):
+        if model_id not in self.COEFFS:
+            raise ValueError(f"{model_id} is not a supported TeaCache model id "
+                             f"(choose from {', '.join(self.COEFFS)})")
+        self.num_inference_steps = num_inference_steps
+        self.step = 0
+        self.accumulated = 0.0
+        self.rel_l1_thresh = rel_l1_thresh
+        self.coefficients = self.COEFFS[model_id]
+        self.previous_t_mod = None
+        self.previous_residual = None
+
+    def check(self, t_mod) -> bool:
+        """True -> skip the trunk this step and reuse the cached residual."""
+        t_mod = np.asarray(t_mod, np.float32)
+        if self.step == 0 or self.step == self.num_inference_steps - 1:
+            should_calc = True
+            self.accumulated = 0.0
+        else:
+            rel = float(np.abs(t_mod - self.previous_t_mod).mean()
+                        / np.abs(self.previous_t_mod).mean())
+            self.accumulated += float(np.polyval(self.coefficients, rel))
+            if self.accumulated < self.rel_l1_thresh:
+                should_calc = False
+            else:
+                should_calc = True
+                self.accumulated = 0.0
+        self.previous_t_mod = t_mod
+        self.step = (self.step + 1) % self.num_inference_steps
+        return not should_calc
+
+    def store(self, residual):
+        self.previous_residual = residual
+
+
+class WanVideoPipeline:
+    """Public API mirrors the reference __call__ (wan_video_new.py:416-482)."""
+
+    def __init__(self, dtype=jnp.bfloat16):
+        self.dtype = dtype
+        self.scheduler = FlowMatchScheduler(
+            shift=5.0, sigma_min=0.0, extra_one_step=True)
+        self.prompter = WanPrompter()
+        self.dit_params = None
+        self.dit_cfg: Optional[WanDiTConfig] = None
+        self.dit2_params = None
+        self.dit2_cfg: Optional[WanDiTConfig] = None
+        self.vace_params = None
+        self.vace_cfg: Optional[VaceConfig] = None
+        self.vace2_params = None
+        self.vae_params = None
+        self.vae_cfg = V.WAN21_VAE
+        self.text_encoder_params = None
+        self.t5_cfg: T5Config = UMT5_XXL
+        self.sharding_ctx = None
+        self._jit_cache = {}
+
+    # ---------------- loading ----------------
+
+    @classmethod
+    def from_pretrained(cls, model_configs: List[ModelConfig],
+                        tokenizer_path: Optional[str] = None,
+                        dtype=jnp.bfloat16, sharding_ctx=None):
+        pipe = cls(dtype=dtype)
+        pipe.sharding_ctx = sharding_ctx
+        for mc in model_configs:
+            sd = C.load_state_dict_files(mc.paths())
+            kind = mc.model_kind or C.detect_model_kind(sd)
+            pipe._attach(kind, sd)
+        if tokenizer_path is not None:
+            pipe.prompter.fetch_tokenizer(tokenizer_path)
+        if pipe.text_encoder_params is not None:
+            pipe.prompter.fetch_models(pipe.text_encoder_params)
+        return pipe
+
+    def _attach(self, kind: str, sd):
+        if kind in ("dit", "dit2", "dit+vace"):
+            dit_sd = {k: v for k, v in sd.items() if not k.startswith("vace")}
+            cfg = C.detect_wan_dit_config(dit_sd)
+            params = convert_wan_dit(dit_sd, cfg, dtype=self.dtype)
+            if kind == "dit2":
+                self.dit2_params, self.dit2_cfg = params, cfg
+            else:
+                self.dit_params, self.dit_cfg = params, cfg
+            if kind == "dit+vace":
+                self._attach("vace", {k: v for k, v in sd.items()
+                                      if k.startswith("vace")})
+        elif kind == "vace":
+            vcfg = C.detect_vace_config(sd)
+            self.vace_cfg = vcfg
+            self.vace_params = convert_vace(sd, vcfg, dtype=self.dtype)
+        elif kind == "vae":
+            self.vae_params = V.convert_wan_vae(sd, dtype=jnp.float32)
+        elif kind == "t5":
+            from ..models.t5 import convert_t5
+            self.text_encoder_params = convert_t5(sd, self.t5_cfg, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown model kind {kind}")
+
+    def load_lora(self, target: str = "dit", path: Optional[str] = None,
+                  state_dict=None, alpha: float = 1.0):
+        """Merge a LoRA into `dit`/`dit2`/`vace` weights
+        (wan_video_new.py:80-106 -> lora/__init__.py:28-46)."""
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        attr = f"{target}_params"
+        setattr(self, attr, merge_lora(getattr(self, attr), sd, alpha=alpha))
+        self._jit_cache.clear()
+
+    # ---------------- conditioning units ----------------
+
+    def check_resize(self, height, width, num_frames):
+        """ShapeChecker (utils/__init__.py:43-57): /16 spatial, 4k+1 frames."""
+        div = self.vae_cfg.upsampling_factor * 2
+        if height % div != 0:
+            height = (height + div - 1) // div * div
+        if width % div != 0:
+            width = (width + div - 1) // div * div
+        if num_frames % 4 != 1:
+            num_frames = (num_frames + 3) // 4 * 4 + 1
+        return height, width, num_frames
+
+    def encode_prompt(self, prompt: str) -> jnp.ndarray:
+        return self.prompter.encode_prompt(prompt, dtype=self.dtype)
+
+    def encode_video(self, video_np, tiled=True, tile_size=(30, 52),
+                     tile_stride=(15, 26)):
+        lat = V.encode(self.vae_params, jnp.asarray(video_np, jnp.float32),
+                       self.vae_cfg, tiled=tiled, tile_size=tile_size,
+                       tile_stride=tile_stride)
+        return lat.astype(self.dtype)
+
+    def decode_video(self, latents, tiled=True, tile_size=(30, 52),
+                     tile_stride=(15, 26)):
+        return V.decode(self.vae_params, jnp.asarray(latents, jnp.float32),
+                        self.vae_cfg, tiled=tiled, tile_size=tile_size,
+                        tile_stride=tile_stride)
+
+    def build_vace_context(self, vace_video, vace_video_mask,
+                           vace_reference_image, height, width, num_frames,
+                           tiled, tile_size, tile_stride):
+        """WanVideoUnit_VACE (wan_video_new.py:861-920): inactive/reactive
+        encodes + 64-ch downsampled mask -> 96-ch context."""
+        if vace_video is None and vace_video_mask is None and vace_reference_image is None:
+            return None
+        if vace_video is None:
+            video = np.zeros((1, 3, num_frames, height, width), np.float32)
+        else:
+            video = _preprocess_images(vace_video)
+        if vace_video_mask is None:
+            mask = np.ones_like(video)
+        else:
+            mask = (_preprocess_images(vace_video_mask) + 1.0) / 2.0
+
+        inactive = video * (1 - mask)
+        reactive = video * mask
+        kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
+        inactive = self.encode_video(inactive, **kw)
+        reactive = self.encode_video(reactive, **kw)
+        vace_video_latents = jnp.concatenate([inactive, reactive], axis=1)
+
+        # mask -> (1, 64, T_lat, H/8, W/8): 8x8 shuffle + nearest temporal
+        m = mask[0, 0]                                       # (T, H, W)
+        T, H, W = m.shape
+        m = m.reshape(T, H // 8, 8, W // 8, 8).transpose(0, 2, 4, 1, 3)
+        m = m.reshape(1, T, 64, H // 8, W // 8).transpose(0, 2, 1, 3, 4)
+        t_lat = (T + 3) // 4
+        idx = np.minimum((np.arange(t_lat) * T) // t_lat, T - 1)
+        # nearest-exact over temporal axis (interpolate at :894)
+        scale = T / t_lat
+        idx = np.minimum(np.floor((np.arange(t_lat) + 0.5) * scale).astype(int), T - 1)
+        mask_lat = jnp.asarray(m[:, :, idx], self.dtype)
+
+        if vace_reference_image is not None:
+            ref = _preprocess_images(
+                vace_reference_image if isinstance(vace_reference_image, list)
+                else [vace_reference_image])
+            ref_lat = self.encode_video(ref, **kw)
+            ref_lat = jnp.concatenate([ref_lat, jnp.zeros_like(ref_lat)], axis=1)
+            vace_video_latents = jnp.concatenate([ref_lat, vace_video_latents], axis=2)
+            mask_lat = jnp.concatenate(
+                [jnp.zeros_like(mask_lat[:, :, :ref_lat.shape[2]]), mask_lat], axis=2)
+        return jnp.concatenate([vace_video_latents, mask_lat], axis=1)
+
+    # ---------------- jitted model functions ----------------
+
+    def _model_fns(self, which: str, use_vace: bool, rope_indices=None):
+        """Build (full, skip, t_mod) jitted fns for a DiT expert.
+
+        full: -> (velocity, trunk_residual); skip: replay cached residual
+        (TeaCache update path, wan_video_new.py:1418-1419,1455-1456).
+        """
+        key = (which, use_vace, None if rope_indices is None else tuple(np.asarray(rope_indices).tolist()))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.dit_cfg if which == "dit" else self.dit2_cfg
+        vcfg = self.vace_cfg
+        ri = None if rope_indices is None else np.asarray(rope_indices)
+
+        def full(params, vace_params, latents, timestep, context,
+                 vace_context, vace_scale):
+            t, t_mod = M.time_embed(params, cfg, timestep)
+            ctx = M.text_embed(params, context)
+            tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
+                                           cfg.patch_size)
+            from ..parallel.context import constrain
+            tokens = constrain(tokens, "dp", "sp", None)
+            cos, sin = assemble_freqs_grid(cfg.head_dim, f, h, w, ri)
+            hints = None
+            if use_vace:
+                hints = vace_forward(vace_params, vcfg, tokens, vace_context,
+                                     ctx, t_mod, cos, sin)
+            tokens_pre = tokens
+            tokens = M.run_blocks(params["blocks"], tokens, ctx, t_mod, cos,
+                                  sin, cfg, vace_hints=hints,
+                                  vace_layers=None if hints is None else vcfg.vace_layers,
+                                  vace_scale=vace_scale)
+            residual = tokens - tokens_pre
+            out = M.head(params, cfg, tokens, t)
+            v = M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
+            return v, t_mod, residual
+
+        def skip(params, latents, timestep, context, residual):
+            t, t_mod = M.time_embed(params, cfg, timestep)
+            tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
+                                           cfg.patch_size)
+            tokens = tokens + residual
+            out = M.head(params, cfg, tokens, t)
+            return M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
+
+        def t_mod_only(params, timestep):
+            _, t_mod = M.time_embed(params, cfg, timestep)
+            return t_mod
+
+        fns = (jax.jit(full), jax.jit(skip), jax.jit(t_mod_only))
+        self._jit_cache[key] = fns
+        return fns
+
+    def _branch_forward(self, which, params, vace_params, latents, timestep,
+                        context, vace_context, vace_scale, tea_cache,
+                        rope_indices=None):
+        use_vace = vace_context is not None
+        full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices)
+        vs = jnp.asarray(vace_scale, jnp.float32)
+        if tea_cache is not None:
+            t_mod = t_mod_only(params, timestep)
+            if tea_cache.check(t_mod) and tea_cache.previous_residual is not None:
+                return skip(params, latents, timestep, context,
+                            tea_cache.previous_residual)
+        v, _, residual = full(params, vace_params, latents, timestep, context,
+                              vace_context, vs)
+        if tea_cache is not None:
+            tea_cache.store(residual)
+        return v
+
+    # ---------------- main call ----------------
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        input_video=None,
+        denoising_strength: float = 1.0,
+        vace_video=None,
+        vace_video_mask=None,
+        vace_reference_image=None,
+        vace_scale: float = 1.0,
+        seed: Optional[int] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        cfg_scale: float = 5.0,
+        switch_DiT_boundary: float = 0.875,
+        num_inference_steps: int = 50,
+        sigma_shift: float = 5.0,
+        tiled: bool = True,
+        tile_size: Tuple[int, int] = (30, 52),
+        tile_stride: Tuple[int, int] = (15, 26),
+        tea_cache_l1_thresh: Optional[float] = None,
+        tea_cache_model_id: str = "",
+        progress_bar_cmd=None,
+        return_latents: bool = False,
+    ):
+        height, width, num_frames = self.check_resize(height, width, num_frames)
+        self.scheduler.set_timesteps(num_inference_steps,
+                                     denoising_strength=denoising_strength,
+                                     shift=sigma_shift)
+        kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
+
+        # Noise (NoiseInitializer, wan_video_new.py:574-587)
+        length = (num_frames - 1) // 4 + 1
+        ref_count = 0
+        if vace_reference_image is not None:
+            ref_count = len(vace_reference_image) if isinstance(vace_reference_image, list) else 1
+            length += ref_count
+        z = self.vae_cfg.z_dim
+        up = self.vae_cfg.upsampling_factor
+        noise = generate_noise((1, z, length, height // up, width // up), seed=seed)
+        if ref_count:
+            noise = np.concatenate([noise[:, :, -ref_count:], noise[:, :, :-ref_count]], axis=2)
+        noise = jnp.asarray(noise, self.dtype)
+
+        # Input video (InputVideoEmbedder, :591-614)
+        if input_video is not None:
+            input_latents = self.encode_video(_preprocess_images(input_video), **kw)
+            if vace_reference_image is not None:
+                ref = _preprocess_images(
+                    vace_reference_image if isinstance(vace_reference_image, list)
+                    else [vace_reference_image])
+                ref_lat = self.encode_video(ref, tiled=False)
+                input_latents = jnp.concatenate([ref_lat, input_latents], axis=2)
+            latents = jnp.asarray(self.scheduler.add_noise(
+                np.asarray(input_latents, np.float32), np.asarray(noise, np.float32),
+                self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = noise
+
+        # Prompts
+        ctx_posi = self.encode_prompt(prompt)
+        ctx_nega = self.encode_prompt(negative_prompt) if cfg_scale != 1.0 else None
+
+        # VACE
+        vace_context = self.build_vace_context(
+            vace_video, vace_video_mask, vace_reference_image,
+            height, width, num_frames, **kw)
+
+        # TeaCache per branch
+        tc_posi = tc_nega = None
+        if tea_cache_l1_thresh is not None:
+            tc_posi = TeaCache(num_inference_steps, tea_cache_l1_thresh, tea_cache_model_id)
+            tc_nega = TeaCache(num_inference_steps, tea_cache_l1_thresh, tea_cache_model_id)
+
+        # Denoise loop (wan_video_new.py:515-542)
+        which = "dit"
+        params, vace_params = self.dit_params, self.vace_params
+        steps = range(len(self.scheduler.timesteps))
+        if progress_bar_cmd is not None:
+            steps = progress_bar_cmd(steps)
+        for i in steps:
+            t_host = float(self.scheduler.timesteps[i])
+            if (which == "dit" and self.dit2_params is not None
+                    and t_host < switch_DiT_boundary * self.scheduler.num_train_timesteps):
+                which = "dit2"
+                params, vace_params = self.dit2_params, self.vace2_params or self.vace_params
+            timestep = jnp.asarray([t_host], jnp.float32)
+            v_posi = self._branch_forward(which, params, vace_params, latents,
+                                          timestep, ctx_posi, vace_context,
+                                          vace_scale, tc_posi)
+            if cfg_scale != 1.0:
+                v_nega = self._branch_forward(which, params, vace_params, latents,
+                                              timestep, ctx_nega, vace_context,
+                                              vace_scale, tc_nega)
+                v = v_nega + cfg_scale * (v_posi - v_nega)
+            else:
+                v = v_posi
+            sigma, sigma_next = self.scheduler.sigma_pair(i)
+            latents = (latents.astype(jnp.float32)
+                       + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+
+        if ref_count:
+            latents = latents[:, :, ref_count:]
+        if return_latents:
+            return latents
+        video = self.decode_video(latents, **kw)
+        return self.vae_output_to_video(video)
+
+    @staticmethod
+    def vae_output_to_video(video) -> List["object"]:
+        """(1, 3, T, H, W) in [-1,1] -> list of PIL images."""
+        from PIL import Image
+        arr = np.asarray(video[0], np.float32).transpose(1, 2, 3, 0)
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        return [Image.fromarray(f) for f in arr]
