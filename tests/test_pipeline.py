@@ -129,3 +129,28 @@ def test_teacache_skips_and_refreshes():
 def test_teacache_rejects_unknown_model():
     with pytest.raises(ValueError):
         TeaCache(10, 0.05, "nope")
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_cfg_merge_matches_two_pass():
+    pipe = _tiny_pipe(with_vace=False)
+    lat_merged = pipe("a cat", negative_prompt="bad", num_frames=5, height=32,
+                      width=32, seed=7, num_inference_steps=2, cfg_scale=3.0,
+                      cfg_merge=True, tiled=False, return_latents=True)
+    lat_two = pipe("a cat", negative_prompt="bad", num_frames=5, height=32,
+                   width=32, seed=7, num_inference_steps=2, cfg_scale=3.0,
+                   cfg_merge=False, tiled=False, return_latents=True)
+    np.testing.assert_allclose(np.asarray(lat_merged, np.float32),
+                               np.asarray(lat_two, np.float32),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_sliding_window_denoise():
+    pipe = _tiny_pipe(with_vace=False)
+    lat = pipe("a cat", num_frames=17, height=32, width=32, seed=1,
+               num_inference_steps=2, cfg_scale=1.0, tiled=False,
+               sliding_window_size=3, sliding_window_stride=2,
+               return_latents=True)
+    assert lat.shape == (1, 4, 5, 4, 4)
+    assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())

@@ -338,6 +338,67 @@ class WanVideoPipeline:
             tea_cache.store(residual)
         return v
 
+    def _forward_all_branches(self, which, params, vace_params, latents,
+                              timestep, ctx_posi, ctx_nega, vace_context,
+                              vace_scale, cfg_scale, tc_posi, tc_nega,
+                              cfg_merge=False, rope_indices=None):
+        """One denoise velocity: CFG via merged batch or two passes."""
+        if cfg_scale == 1.0 or ctx_nega is None:
+            return self._branch_forward(which, params, vace_params, latents,
+                                        timestep, ctx_posi, vace_context,
+                                        vace_scale, tc_posi,
+                                        rope_indices=rope_indices)
+        if cfg_merge:
+            # CfgMerger (wan_video_new.py:951-969): one batched forward
+            ctx = jnp.concatenate([ctx_posi, ctx_nega], axis=0)
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            vc2 = None if vace_context is None else jnp.concatenate(
+                [vace_context, vace_context], axis=0)
+            v2 = self._branch_forward(which, params, vace_params, lat2,
+                                      timestep, ctx, vc2, vace_scale, tc_posi,
+                                      rope_indices=rope_indices)
+            v_posi, v_nega = v2[:1], v2[1:]
+        else:
+            v_posi = self._branch_forward(which, params, vace_params, latents,
+                                          timestep, ctx_posi, vace_context,
+                                          vace_scale, tc_posi,
+                                          rope_indices=rope_indices)
+            v_nega = self._branch_forward(which, params, vace_params, latents,
+                                          timestep, ctx_nega, vace_context,
+                                          vace_scale, tc_nega,
+                                          rope_indices=rope_indices)
+        return v_nega + cfg_scale * (v_posi - v_nega)
+
+    @staticmethod
+    def _temporal_ramp(length, left_bound, right_bound, border):
+        """TemporalTiler 1-D ramp with 0.5 shift (wan_video_new.py:1211-1221)."""
+        x = np.ones((length,), np.float32)
+        if border > 0:
+            if not left_bound:
+                x[:border] = (np.arange(border) + 0.5) / border
+            if not right_bound:
+                x[-border:] = ((np.arange(border) + 0.5) / border)[::-1]
+        return x
+
+    def _sliding_window_velocity(self, window_size, window_stride, fwd_fn,
+                                 latents):
+        """Temporal sliding window with ramp blending
+        (TemporalTiler_BCTHW.run, wan_video_new.py:1229-1256)."""
+        T = latents.shape[2]
+        value = np.zeros(latents.shape, np.float32)
+        weight = np.zeros((1, 1, T, 1, 1), np.float32)
+        for t0 in range(0, T, window_stride):
+            if t0 - window_stride >= 0 and t0 - window_stride + window_size >= T:
+                continue
+            t1 = min(t0 + window_size, T)
+            v = np.asarray(fwd_fn(latents[:, :, t0:t1]), np.float32)
+            mask = self._temporal_ramp(
+                t1 - t0, t0 == 0, t1 == T,
+                window_size - window_stride)[None, None, :, None, None]
+            value[:, :, t0:t1] += v * mask
+            weight[:, :, t0:t1] += mask
+        return jnp.asarray(value / weight)
+
     # ---------------- main call ----------------
 
     def __call__(
@@ -355,12 +416,15 @@ class WanVideoPipeline:
         width: int = 832,
         num_frames: int = 81,
         cfg_scale: float = 5.0,
+        cfg_merge: bool = False,
         switch_DiT_boundary: float = 0.875,
         num_inference_steps: int = 50,
         sigma_shift: float = 5.0,
         tiled: bool = True,
         tile_size: Tuple[int, int] = (30, 52),
         tile_stride: Tuple[int, int] = (15, 26),
+        sliding_window_size: Optional[int] = None,
+        sliding_window_stride: Optional[int] = None,
         tea_cache_l1_thresh: Optional[float] = None,
         tea_cache_model_id: str = "",
         progress_bar_cmd=None,
@@ -428,16 +492,19 @@ class WanVideoPipeline:
                 which = "dit2"
                 params, vace_params = self.dit2_params, self.vace2_params or self.vace_params
             timestep = jnp.asarray([t_host], jnp.float32)
-            v_posi = self._branch_forward(which, params, vace_params, latents,
-                                          timestep, ctx_posi, vace_context,
-                                          vace_scale, tc_posi)
-            if cfg_scale != 1.0:
-                v_nega = self._branch_forward(which, params, vace_params, latents,
-                                              timestep, ctx_nega, vace_context,
-                                              vace_scale, tc_nega)
-                v = v_nega + cfg_scale * (v_posi - v_nega)
+            if sliding_window_size is not None and sliding_window_stride is not None:
+                def fwd(lat_slice):
+                    return self._forward_all_branches(
+                        which, params, vace_params, lat_slice, timestep,
+                        ctx_posi, ctx_nega, None, vace_scale, cfg_scale,
+                        None, None, cfg_merge=cfg_merge)
+                v = self._sliding_window_velocity(
+                    sliding_window_size, sliding_window_stride, fwd, latents)
             else:
-                v = v_posi
+                v = self._forward_all_branches(
+                    which, params, vace_params, latents, timestep, ctx_posi,
+                    ctx_nega, vace_context, vace_scale, cfg_scale, tc_posi,
+                    tc_nega, cfg_merge=cfg_merge)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
