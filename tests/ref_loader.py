@@ -24,7 +24,51 @@ def _fake_pkg(name: str, path: str):
         sys.modules[name] = m
 
 
+def _stub_torchvision():
+    """torchvision is absent; the image-encoder module only uses
+    T.Compose/Resize/Normalize at weight-load time, so a light stub suffices."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class _T:
+        def __init__(self, *a, **k):
+            self.args = a
+
+        def __call__(self, x):
+            return x
+
+    class Normalize(_T):
+        def __call__(self, x):
+            import torch
+            mean, std = self.args
+            return (x - torch.tensor(mean).view(1, 3, 1, 1)) / \
+                torch.tensor(std).view(1, 3, 1, 1)
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    transforms.Compose = Compose
+    transforms.Resize = _T
+    transforms.CenterCrop = _T
+    transforms.ToTensor = _T
+    transforms.Normalize = Normalize
+    transforms.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+
+
 def load_ref(modname: str):
+    if modname.endswith("wan_video_image_encoder"):
+        _stub_torchvision()
     """load_ref('models.wan_video_dit') -> the reference module object."""
     _fake_pkg("diffsynth", os.path.join(REF_ROOT, "diffsynth"))
     for sub in ("models", "schedulers", "pipelines", "prompters", "utils_pkg"):

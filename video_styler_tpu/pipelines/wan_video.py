@@ -138,6 +138,8 @@ class WanVideoPipeline:
         self.vae_cfg = V.WAN21_VAE
         self.text_encoder_params = None
         self.t5_cfg: T5Config = UMT5_XXL
+        self.image_encoder_params = None
+        self.image_encoder_cfg = None
         self.sharding_ctx = None
         self._jit_cache = {}
 
@@ -180,6 +182,10 @@ class WanVideoPipeline:
         elif kind == "t5":
             from ..models.t5 import convert_t5
             self.text_encoder_params = convert_t5(sd, self.t5_cfg, dtype=self.dtype)
+        elif kind == "clip":
+            from ..models.clip_vit import convert_clip_vit, CLIP_VIT_H_14
+            self.image_encoder_cfg = CLIP_VIT_H_14
+            self.image_encoder_params = convert_clip_vit(sd, dtype=self.dtype)
         else:
             raise ValueError(f"unknown model kind {kind}")
 
@@ -267,15 +273,56 @@ class WanVideoPipeline:
                 [jnp.zeros_like(mask_lat[:, :, :ref_lat.shape[2]]), mask_lat], axis=2)
         return jnp.concatenate([vace_video_latents, mask_lat], axis=1)
 
+    def build_image_conditioning(self, input_image, end_image, num_frames,
+                                 height, width, tiled, tile_size, tile_stride):
+        """I2V units (WanVideoUnit_ImageEmbedderCLIP/VAE,
+        wan_video_new.py:674-728): CLIP features of the first (and optionally
+        last) frame + y = [4-ch temporal mask | VAE latent of the padded
+        clip]."""
+        if input_image is None or self.dit_cfg is None or not self.dit_cfg.has_image_input:
+            return None, None
+        img = input_image.resize((width, height))
+        img_np = _preprocess_images([img])[:, :, 0]          # (1, 3, H, W)
+        clip_feature = None
+        if self.image_encoder_params is not None and self.dit_cfg.require_clip_embedding:
+            from ..models.clip_vit import encode_image
+            clip_feature = encode_image(self.image_encoder_params, img_np,
+                                        self.image_encoder_cfg, dtype=self.dtype)
+            if end_image is not None and self.dit_cfg.has_image_pos_emb:
+                end_np = _preprocess_images([end_image.resize((width, height))])[:, :, 0]
+                clip_end = encode_image(self.image_encoder_params, end_np,
+                                        self.image_encoder_cfg, dtype=self.dtype)
+                clip_feature = jnp.concatenate([clip_feature, clip_end], axis=1)
+        y = None
+        if self.dit_cfg.require_vae_embedding:
+            up = self.vae_cfg.upsampling_factor
+            msk = np.ones((1, num_frames, height // up, width // up), np.float32)
+            msk[:, 1:] = 0
+            vae_input = np.zeros((1, 3, num_frames, height, width), np.float32)
+            vae_input[:, :, 0] = img_np[0]
+            if end_image is not None:
+                end_np = _preprocess_images([end_image.resize((width, height))])[:, :, 0]
+                vae_input[:, :, -1] = end_np[0]
+                msk[:, -1:] = 1
+            msk = np.concatenate([np.repeat(msk[:, 0:1], 4, axis=1), msk[:, 1:]], axis=1)
+            msk = msk.reshape(1, msk.shape[1] // 4, 4, height // up, width // up)
+            msk = msk.transpose(0, 2, 1, 3, 4)[0]            # (4, T_lat, h, w)
+            lat = self.encode_video(vae_input, tiled=tiled, tile_size=tile_size,
+                                    tile_stride=tile_stride)
+            y = jnp.concatenate([jnp.asarray(msk, self.dtype)[None], lat], axis=1)
+        return clip_feature, y
+
     # ---------------- jitted model functions ----------------
 
-    def _model_fns(self, which: str, use_vace: bool, rope_indices=None):
+    def _model_fns(self, which: str, use_vace: bool, rope_indices=None,
+                   use_image: bool = False):
         """Build (full, skip, t_mod) jitted fns for a DiT expert.
 
         full: -> (velocity, trunk_residual); skip: replay cached residual
         (TeaCache update path, wan_video_new.py:1418-1419,1455-1456).
         """
-        key = (which, use_vace, None if rope_indices is None else tuple(np.asarray(rope_indices).tolist()))
+        key = (which, use_vace, use_image,
+               None if rope_indices is None else tuple(np.asarray(rope_indices).tolist()))
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.dit_cfg if which == "dit" else self.dit2_cfg
@@ -283,9 +330,15 @@ class WanVideoPipeline:
         ri = None if rope_indices is None else np.asarray(rope_indices)
 
         def full(params, vace_params, latents, timestep, context,
-                 vace_context, vace_scale):
+                 vace_context, vace_scale, clip_feature=None, y=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
             ctx = M.text_embed(params, context)
+            if use_image:
+                if y is not None and cfg.require_vae_embedding:
+                    latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
+                if clip_feature is not None and cfg.require_clip_embedding:
+                    clip_emb = M.img_embed(params, clip_feature)
+                    ctx = jnp.concatenate([clip_emb, ctx], axis=1)
             tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
                                            cfg.patch_size)
             from ..parallel.context import constrain
@@ -305,8 +358,10 @@ class WanVideoPipeline:
             v = M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
             return v, t_mod, residual
 
-        def skip(params, latents, timestep, context, residual):
+        def skip(params, latents, timestep, context, residual, y=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
+            if use_image and y is not None and cfg.require_vae_embedding:
+                latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
             tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
                                            cfg.patch_size)
             tokens = tokens + residual
@@ -323,17 +378,19 @@ class WanVideoPipeline:
 
     def _branch_forward(self, which, params, vace_params, latents, timestep,
                         context, vace_context, vace_scale, tea_cache,
-                        rope_indices=None):
+                        rope_indices=None, clip_feature=None, y=None):
         use_vace = vace_context is not None
-        full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices)
+        use_image = clip_feature is not None or y is not None
+        full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices,
+                                                 use_image)
         vs = jnp.asarray(vace_scale, jnp.float32)
         if tea_cache is not None:
             t_mod = t_mod_only(params, timestep)
             if tea_cache.check(t_mod) and tea_cache.previous_residual is not None:
                 return skip(params, latents, timestep, context,
-                            tea_cache.previous_residual)
+                            tea_cache.previous_residual, y)
         v, _, residual = full(params, vace_params, latents, timestep, context,
-                              vace_context, vs)
+                              vace_context, vs, clip_feature, y)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -341,32 +398,40 @@ class WanVideoPipeline:
     def _forward_all_branches(self, which, params, vace_params, latents,
                               timestep, ctx_posi, ctx_nega, vace_context,
                               vace_scale, cfg_scale, tc_posi, tc_nega,
-                              cfg_merge=False, rope_indices=None):
+                              cfg_merge=False, rope_indices=None,
+                              clip_feature=None, y=None):
         """One denoise velocity: CFG via merged batch or two passes."""
         if cfg_scale == 1.0 or ctx_nega is None:
             return self._branch_forward(which, params, vace_params, latents,
                                         timestep, ctx_posi, vace_context,
                                         vace_scale, tc_posi,
-                                        rope_indices=rope_indices)
+                                        rope_indices=rope_indices,
+                                        clip_feature=clip_feature, y=y)
         if cfg_merge:
             # CfgMerger (wan_video_new.py:951-969): one batched forward
             ctx = jnp.concatenate([ctx_posi, ctx_nega], axis=0)
             lat2 = jnp.concatenate([latents, latents], axis=0)
             vc2 = None if vace_context is None else jnp.concatenate(
                 [vace_context, vace_context], axis=0)
+            cf2 = None if clip_feature is None else jnp.concatenate(
+                [clip_feature, clip_feature], axis=0)
+            y2 = None if y is None else jnp.concatenate([y, y], axis=0)
             v2 = self._branch_forward(which, params, vace_params, lat2,
                                       timestep, ctx, vc2, vace_scale, tc_posi,
-                                      rope_indices=rope_indices)
+                                      rope_indices=rope_indices,
+                                      clip_feature=cf2, y=y2)
             v_posi, v_nega = v2[:1], v2[1:]
         else:
             v_posi = self._branch_forward(which, params, vace_params, latents,
                                           timestep, ctx_posi, vace_context,
                                           vace_scale, tc_posi,
-                                          rope_indices=rope_indices)
+                                          rope_indices=rope_indices,
+                                          clip_feature=clip_feature, y=y)
             v_nega = self._branch_forward(which, params, vace_params, latents,
                                           timestep, ctx_nega, vace_context,
                                           vace_scale, tc_nega,
-                                          rope_indices=rope_indices)
+                                          rope_indices=rope_indices,
+                                          clip_feature=clip_feature, y=y)
         return v_nega + cfg_scale * (v_posi - v_nega)
 
     @staticmethod
@@ -405,6 +470,8 @@ class WanVideoPipeline:
         self,
         prompt: str,
         negative_prompt: str = "",
+        input_image=None,
+        end_image=None,
         input_video=None,
         denoising_strength: float = 1.0,
         vace_video=None,
@@ -473,6 +540,10 @@ class WanVideoPipeline:
             vace_video, vace_video_mask, vace_reference_image,
             height, width, num_frames, **kw)
 
+        # I2V (ImageEmbedderCLIP/VAE units)
+        clip_feature, y = self.build_image_conditioning(
+            input_image, end_image, num_frames, height, width, **kw)
+
         # TeaCache per branch
         tc_posi = tc_nega = None
         if tea_cache_l1_thresh is not None:
@@ -504,7 +575,8 @@ class WanVideoPipeline:
                 v = self._forward_all_branches(
                     which, params, vace_params, latents, timestep, ctx_posi,
                     ctx_nega, vace_context, vace_scale, cfg_scale, tc_posi,
-                    tc_nega, cfg_merge=cfg_merge)
+                    tc_nega, cfg_merge=cfg_merge, clip_feature=clip_feature,
+                    y=y)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
