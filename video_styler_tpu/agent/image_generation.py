@@ -1,0 +1,107 @@
+"""Multi-provider image-editing API client with retry/backoff.
+
+Port surface of /root/reference/src/utils/image_generation.py:9-632: one
+`image_generation_tool(image, prompt, provider, ...)` entry, providers behind
+a registry, exponential-backoff retry, data-URL encoding helpers. Network
+providers (gemini/openai/qwen/doubao) are HTTP clients that need egress; the
+`mock` provider applies a deterministic local stylization so the whole agent
+pipeline runs offline (and in tests).
+"""
+from __future__ import annotations
+
+import base64
+import io
+import os
+import time
+from typing import Callable, Dict, Optional
+
+from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+
+
+def pil_to_data_url(image: Image.Image, fmt: str = "PNG") -> str:
+    buf = io.BytesIO()
+    image.save(buf, format=fmt)
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    return f"data:image/{fmt.lower()};base64,{b64}"
+
+
+def data_url_to_pil(url: str) -> Image.Image:
+    b64 = url.split(",", 1)[1]
+    return Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+
+
+def retry_with_backoff(fn: Callable, max_retries: int = 3, base_delay: float = 1.0,
+                       max_delay: float = 30.0):
+    """Exponential backoff (image_generation.py:80-129 behavior)."""
+    last_err = None
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — API clients raise varied errors
+            last_err = e
+            delay = min(base_delay * (2 ** attempt), max_delay)
+            time.sleep(delay)
+    raise RuntimeError(f"image generation failed after {max_retries} retries: "
+                       f"{last_err}")
+
+
+# ---------------------------------------------------------------- providers
+
+def _mock_provider(image: Image.Image, prompt: str, **kwargs) -> Image.Image:
+    """Deterministic local 'stylization': tint + posterize + edge enhance,
+    keyed on the prompt hash so different prompts give different looks."""
+    h = sum(ord(c) for c in prompt) % 3
+    out = image.convert("RGB")
+    if h == 0:
+        out = ImageOps.posterize(out, 4)
+        out = ImageEnhance.Color(out).enhance(1.6)
+    elif h == 1:
+        out = out.filter(ImageFilter.EDGE_ENHANCE_MORE)
+        out = ImageEnhance.Contrast(out).enhance(1.3)
+    else:
+        out = ImageOps.autocontrast(out)
+        out = ImageEnhance.Brightness(out).enhance(1.1)
+    return out
+
+
+def _http_provider(url_env: str, key_env: str):
+    def provider(image: Image.Image, prompt: str, **kwargs) -> Image.Image:
+        import json
+        import urllib.request
+        api_url = os.environ.get(url_env)
+        api_key = os.environ.get(key_env)
+        if not api_url or not api_key:
+            raise RuntimeError(f"{url_env}/{key_env} not configured")
+        payload = json.dumps({
+            "prompt": prompt,
+            "image": pil_to_data_url(image),
+            **kwargs,
+        }).encode()
+        req = urllib.request.Request(
+            api_url, data=payload,
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {api_key}"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            data = json.loads(resp.read())
+        return data_url_to_pil(data["image"])
+    return provider
+
+
+PROVIDERS: Dict[str, Callable] = {
+    "mock": _mock_provider,
+    "gemini": _http_provider("GEMINI_IMAGE_API_URL", "GEMINI_API_KEY"),
+    "openai": _http_provider("OPENAI_IMAGE_API_URL", "OPENAI_API_KEY"),
+    "qwen": _http_provider("QWEN_IMAGE_API_URL", "DASHSCOPE_API_KEY"),
+    "doubao": _http_provider("DOUBAO_IMAGE_API_URL", "ARK_API_KEY"),
+}
+
+
+def image_generation_tool(image: Image.Image, prompt: str,
+                          provider: str = "mock", max_retries: int = 3,
+                          **kwargs) -> Image.Image:
+    if provider not in PROVIDERS:
+        raise ValueError(f"unknown provider {provider} "
+                         f"(available: {', '.join(PROVIDERS)})")
+    fn = PROVIDERS[provider]
+    return retry_with_backoff(lambda: fn(image, prompt, **kwargs),
+                              max_retries=max_retries)

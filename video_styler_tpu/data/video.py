@@ -27,18 +27,45 @@ def crop_and_resize(image: Image.Image, height: int, width: int) -> Image.Image:
 
 class LowMemoryVideo:
     def __init__(self, file_name: str):
-        import imageio
-        self.reader = imageio.get_reader(file_name)
+        self.reader = None
+        self.cap = None
+        try:
+            import imageio
+            self.reader = imageio.get_reader(file_name)
+            self.reader.count_frames()
+        except Exception:
+            # no ffmpeg backend for imageio in this env -> cv2 reader
+            import cv2
+            self.reader = None
+            self.cap = cv2.VideoCapture(file_name)
+            if not self.cap.isOpened():
+                raise IOError(f"cannot open video {file_name}")
+            self._n = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self._pos = 0
 
     def __len__(self):
-        return self.reader.count_frames()
+        if self.reader is not None:
+            return self.reader.count_frames()
+        return self._n
 
     def __getitem__(self, item) -> Image.Image:
-        return Image.fromarray(np.array(self.reader.get_data(item))).convert("RGB")
+        if self.reader is not None:
+            return Image.fromarray(
+                np.array(self.reader.get_data(item))).convert("RGB")
+        import cv2
+        if item != self._pos:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, item)
+        ok, frame = self.cap.read()
+        self._pos = item + 1
+        if not ok:
+            raise IndexError(f"frame {item} unreadable")
+        return Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
 
     def __del__(self):
-        if hasattr(self, "reader"):
+        if getattr(self, "reader", None) is not None:
             self.reader.close()
+        if getattr(self, "cap", None) is not None:
+            self.cap.release()
 
 
 class LowMemoryImageFolder:
