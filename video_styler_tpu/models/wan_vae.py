@@ -382,6 +382,188 @@ def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
 
 
 # --------------------------------------------------------------------------
+# Wan2.2 VAE (z=48, 16x spatial via pixel patchify 2) — wan_video_vae.py:
+# Encoder3d_38/Decoder3d_38 (:620-940), VideoVAE38_ (:1269-1351),
+# WanVideoVAE38 (:1354-1382)
+# --------------------------------------------------------------------------
+
+WAN22_LATENT_MEAN = (
+    -0.2289, -0.0052, -0.1323, -0.2339, -0.2799, 0.0174, 0.1838, 0.1557,
+    -0.1382, 0.0542, 0.2813, 0.0891, 0.1570, -0.0098, 0.0375, -0.1825,
+    -0.2246, -0.1207, -0.0698, 0.5109, 0.2665, -0.2108, -0.2158, 0.2502,
+    -0.2055, -0.0322, 0.1109, 0.1567, -0.0729, 0.0899, -0.2799, -0.1230,
+    -0.0313, -0.1649, 0.0117, 0.0723, -0.2839, -0.2083, -0.0520, 0.3748,
+    0.0152, 0.1957, 0.1433, -0.2944, 0.3573, -0.0548, -0.1681, -0.0667)
+WAN22_LATENT_STD = (
+    0.4765, 1.0364, 0.4514, 1.1677, 0.5313, 0.4990, 0.4818, 0.5013,
+    0.8158, 1.0344, 0.5894, 1.0901, 0.6885, 0.6165, 0.8454, 0.4978,
+    0.5759, 0.3523, 0.7135, 0.6804, 0.5833, 1.4146, 0.8986, 0.5659,
+    0.7069, 0.5338, 0.4889, 0.4917, 0.4069, 0.4999, 0.6866, 0.4093,
+    0.5709, 0.6065, 0.6415, 0.4944, 0.5726, 1.2042, 0.5458, 1.6887,
+    0.3971, 1.0600, 0.3943, 0.5537, 0.5444, 0.4089, 0.7468, 0.7744)
+
+
+@dataclass(frozen=True)
+class WanVAE38Config:
+    dim: int = 160
+    dec_dim: int = 256
+    z_dim: int = 48
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+    latent_mean: Tuple[float, ...] = WAN22_LATENT_MEAN
+    latent_std: Tuple[float, ...] = WAN22_LATENT_STD
+
+    @property
+    def temperal_upsample(self):
+        return tuple(reversed(self.temperal_downsample))
+
+    @property
+    def upsampling_factor(self) -> int:
+        # 8x conv path * 2x pixel patchify
+        return 16
+
+
+WAN22_VAE = WanVAE38Config()
+
+
+def pixel_patchify(x, p: int = 2):
+    """(B, C, F, H, W) -> (B, C*p*p, F, H/p, W/p) with the reference's
+    '(c r q)' channel order (wan_video_vae.py:199-211)."""
+    from einops import rearrange
+    return rearrange(x, "b c f (h q) (w r) -> b (c r q) f h w", q=p, r=p)
+
+
+def pixel_unpatchify(x, p: int = 2):
+    from einops import rearrange
+    return rearrange(x, "b (c r q) f h w -> b c f (h q) (w r)", q=p, r=p)
+
+
+def avg_down3d(x, out_channels: int, factor_t: int, factor_s: int = 1):
+    """AvgDown3D (wan_video_vae.py:345-395): left-pad T to a multiple of
+    factor_t, space-time-to-channel, grouped mean."""
+    B, C, T, H, W = x.shape
+    pad_t = (factor_t - T % factor_t) % factor_t
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad_t, 0), (0, 0), (0, 0)))
+        T += pad_t
+    factor = factor_t * factor_s * factor_s
+    group_size = C * factor // out_channels
+    x = x.reshape(B, C, T // factor_t, factor_t, H // factor_s, factor_s,
+                  W // factor_s, factor_s)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    x = x.reshape(B, C * factor, T // factor_t, H // factor_s, W // factor_s)
+    x = x.reshape(B, out_channels, group_size, T // factor_t, H // factor_s,
+                  W // factor_s)
+    return x.mean(axis=2)
+
+
+def dup_up3d(x, out_channels: int, factor_t: int, factor_s: int = 1,
+             first_chunk: bool = False):
+    """DupUp3D (wan_video_vae.py:398-439)."""
+    B, C, T, H, W = x.shape
+    factor = factor_t * factor_s * factor_s
+    repeats = out_channels * factor // C
+    x = jnp.repeat(x, repeats, axis=1)
+    x = x.reshape(B, out_channels, factor_t, factor_s, factor_s, T, H, W)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    x = x.reshape(B, out_channels, T * factor_t, H * factor_s, W * factor_s)
+    if first_chunk:
+        x = x[:, :, factor_t - 1:]
+    return x
+
+
+def down_residual_block(p, x, temperal_downsample: bool, down_flag: bool,
+                        mult: int):
+    """Down_ResidualBlock (wan_video_vae.py:442-474)."""
+    out_c = p["downsamples"]["0"]["residual"]["6"]["weight"].shape[0]
+    shortcut = avg_down3d(x, out_c, 2 if temperal_downsample else 1,
+                          2 if down_flag else 1)
+    h = x
+    for i in range(mult):
+        h = residual_block(p["downsamples"][str(i)], h)
+    if down_flag:
+        mode = "downsample3d" if temperal_downsample else "downsample2d"
+        h = resample(p["downsamples"][str(mult)], h, mode)
+    return h + shortcut
+
+
+def up_residual_block(p, x, temperal_upsample: bool, up_flag: bool, mult: int,
+                      first_chunk: bool = False):
+    """Up_ResidualBlock (wan_video_vae.py:477-514)."""
+    h = x
+    for i in range(mult):
+        h = residual_block(p["upsamples"][str(i)], h)
+    if up_flag:
+        mode = "upsample3d" if temperal_upsample else "upsample2d"
+        h = resample38_up(p["upsamples"][str(mult)], h, mode)
+        out_c = h.shape[1]
+        shortcut = dup_up3d(x, out_c, 2 if temperal_upsample else 1, 2,
+                            first_chunk=first_chunk)
+        return h + shortcut
+    return h
+
+
+def resample38_up(p, x, mode: str):
+    """Resample38 upsample: like Resample but the spatial conv keeps the
+    channel count (wan_video_vae.py:242-252); temporal logic identical."""
+    return resample(p, x, mode)
+
+
+def encoder3d_38(p, x, cfg: WanVAE38Config):
+    x = causal_conv3d(p["conv1"], x)
+    for i in range(len(cfg.dim_mult)):
+        t_down = cfg.temperal_downsample[i] if i < len(cfg.temperal_downsample) else False
+        down_flag = i != len(cfg.dim_mult) - 1
+        x = down_residual_block(p["downsamples"][str(i)], x, t_down, down_flag,
+                                cfg.num_res_blocks)
+    x = residual_block(p["middle"]["0"], x)
+    x = attention_block(p["middle"]["1"], x)
+    x = residual_block(p["middle"]["2"], x)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    return causal_conv3d(p["head"]["2"], x)
+
+
+def decoder3d_38(p, x, cfg: WanVAE38Config):
+    x = causal_conv3d(p["conv1"], x)
+    x = residual_block(p["middle"]["0"], x)
+    x = attention_block(p["middle"]["1"], x)
+    x = residual_block(p["middle"]["2"], x)
+    for i in range(len(cfg.dim_mult)):
+        t_up = cfg.temperal_upsample[i] if i < len(cfg.temperal_upsample) else False
+        up_flag = i != len(cfg.dim_mult) - 1
+        x = up_residual_block(p["upsamples"][str(i)], x, t_up, up_flag,
+                              cfg.num_res_blocks + 1, first_chunk=True)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    return causal_conv3d(p["head"]["2"], x)
+
+
+def vae38_encode(params, video, cfg: WanVAE38Config = WAN22_VAE):
+    """video (B, 3, T, H, W) -> normalized latents (B, 48, 1+(T-1)/4, H/16, W/16)."""
+    x = pixel_patchify(video, 2)
+    out = encoder3d_38(params["encoder"], x, cfg)
+    moments = causal_conv3d(params["conv1"], out)
+    mu = moments[:, :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)[None, :, None, None, None]
+    return (mu - mean) * inv_std
+
+
+def vae38_decode(params, z, cfg: WanVAE38Config = WAN22_VAE, clamp: bool = True):
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)[None, :, None, None, None]
+    std = jnp.asarray(cfg.latent_std, z.dtype)[None, :, None, None, None]
+    z = z * std + mean
+    x = causal_conv3d(params["conv2"], z)
+    out = decoder3d_38(params["decoder"], x, cfg)
+    video = pixel_unpatchify(out, 2)
+    if clamp:
+        video = jnp.clip(video, -1.0, 1.0)
+    return video
+
+
+# --------------------------------------------------------------------------
 # Random init (tests / smoke runs without checkpoints)
 # --------------------------------------------------------------------------
 
