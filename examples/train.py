@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume full train state (lora+optimizer+step) from "
+                        "the newest orbax checkpoint in output_path")
     return p.parse_args()
 
 
@@ -207,8 +210,21 @@ def main():
                      args.height // up, args.width // up), jnp.float32)
         return latents, context, vace_context
 
+    from video_styler_tpu.trainers.checkpoint import (
+        save_train_state, restore_train_state, latest_checkpoint)
     rng = jax.random.PRNGKey(args.seed)
     step_count = 0
+    if args.resume:
+        ckpt = latest_checkpoint(args.output_path)
+        if ckpt:
+            like = {"step": 0, "lora": lora, "opt_state": opt_state,
+                    "rng": np.asarray(rng)}
+            restored = restore_train_state(ckpt, like=like)
+            step_count = int(restored["step"])
+            lora = restored["lora"]
+            opt_state = restored["opt_state"]
+            rng = jnp.asarray(restored["rng"], jnp.uint32)
+            print(f"resumed full train state at step {step_count} from {ckpt}")
     for epoch in range(args.num_epochs):
         for i in range(len(dataset)):
             row = dataset[i]
@@ -222,6 +238,10 @@ def main():
             step_count += 1
             print(f"epoch {epoch} step {step_count} loss {float(loss):.4f}")
             logger.on_step_end(lora)
+            if args.save_steps and step_count % args.save_steps == 0:
+                save_train_state(
+                    os.path.join(args.output_path, f"state-{step_count}"),
+                    step_count, lora, opt_state, rng)
             if args.max_steps and step_count >= args.max_steps:
                 break
         logger.on_epoch_end(lora, epoch)
