@@ -1,0 +1,77 @@
+"""Golden parity: tiny Wan S2V model vs reference WanS2VModel."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_styler_tpu.models.wan_s2v import (
+    WanS2VConfig, wan_s2v_forward, convert_wan_s2v, s2v_rope_segments,
+)
+from ref_loader import ref_available, load_ref
+
+needs_ref = pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+
+TINY = dict(dim=96, in_dim=16, ffn_dim=192, out_dim=16, text_dim=64,
+            freq_dim=32, eps=1e-6, patch_size=(1, 2, 2), num_heads=2,
+            num_layers=2, cond_dim=16, audio_dim=16, num_audio_token=2,
+            audio_inject_layers=[0, 1])
+
+
+def _build():
+    import torch
+    ref = load_ref("models.wan_video_dit_s2v")
+    torch.manual_seed(0)
+    model = ref.WanS2VModel(**TINY).eval()
+    cfg = WanS2VConfig(**{**{k: tuple(v) if isinstance(v, list) else v
+                             for k, v in TINY.items()},
+                          "num_audio_layers": 25})
+    params = convert_wan_s2v(model.state_dict(), cfg, dtype=jnp.float32)
+    return model, cfg, params
+
+
+@needs_ref
+def test_s2v_rope_matches_reference():
+    import torch
+    ref = load_ref("models.wan_video_dit_s2v")
+    head_dim, heads = 48, 2
+    freqs = torch.cat(ref.precompute_freqs_cis_3d(head_dim), dim=1)
+    f, h, w = 2, 4, 4
+    rh = rw = 4
+    grid_sizes = [
+        [torch.zeros(1, 3, dtype=torch.long),
+         torch.tensor([[f, h, w]], dtype=torch.long),
+         torch.tensor([[f, h, w]], dtype=torch.long)],
+        [torch.tensor([[30, 0, 0]], dtype=torch.long),
+         torch.tensor([[31, rh, rw]], dtype=torch.long),
+         torch.tensor([[1, rh, rw]], dtype=torch.long)],
+    ]
+    s = f * h * w + rh * rw
+    x = torch.zeros(1, s, heads, head_dim)
+    want = ref.rope_precompute(x, grid_sizes, freqs)   # complex (1, s, heads, hd/2)
+    want_cos = want.real[0, :, 0].numpy()
+    want_sin = want.imag[0, :, 0].numpy()
+    cos, sin = s2v_rope_segments(head_dim, [
+        {"start": (0, 0, 0), "end": (f, h, w), "total": (f, h, w)},
+        {"start": (30, 0, 0), "end": (31, rh, rw), "total": (1, rh, rw)},
+    ])
+    np.testing.assert_allclose(cos, want_cos, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sin, want_sin, rtol=1e-4, atol=1e-5)
+
+
+@needs_ref
+def test_s2v_forward_parity():
+    import torch
+    model, cfg, params = _build()
+    torch.manual_seed(1)
+    latents = torch.randn(1, 16, 3, 8, 8)     # ref frame + 2 video frames
+    timestep = torch.tensor([500.0])
+    context = torch.randn(1, 6, 64)
+    audio = torch.randn(1, 25, 16, 8)         # (B, layers, dim, F_video=8)
+    motion = torch.randn(16, 5, 8, 8)
+    with torch.no_grad():
+        want = model(latents, timestep, context, audio, [motion], None).numpy()
+    got = wan_s2v_forward(params, cfg, jnp.asarray(latents.numpy()),
+                          jnp.asarray(timestep.numpy()),
+                          jnp.asarray(context.numpy()),
+                          jnp.asarray(audio.numpy()),
+                          motion_latents=jnp.asarray(motion.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=5e-4)
