@@ -1,0 +1,127 @@
+"""SDImagePipeline: SD-1.5 text-to-image / image-to-image.
+
+Port surface of /root/reference/diffsynth/pipelines/sd_image.py:14-140:
+EnhancedDDIM sampling, CLIP text encoding with clip_skip, 4-channel 512x512
+latents, img2img via add_noise, CFG. ControlNet/IP-Adapter units are later
+rounds. The CLIP tokenizer loads from a user-supplied path (transformers),
+with a whitespace fallback for smoke runs.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import sd as SD
+from ..schedulers import EnhancedDDIMScheduler
+from .wan_video import generate_noise
+
+
+class SDImagePipeline:
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self.scheduler = EnhancedDDIMScheduler()
+        self.text_encoder_params = None
+        self.unet_params = None
+        self.vae_encoder_params = None
+        self.vae_decoder_params = None
+        self.tokenizer = None
+        self.num_text_layers = 12
+        self._jit = {}
+
+    @classmethod
+    def from_state_dicts(cls, unet_sd=None, text_encoder_sd=None,
+                         vae_encoder_sd=None, vae_decoder_sd=None,
+                         tokenizer_path: Optional[str] = None,
+                         dtype=jnp.float32):
+        pipe = cls(dtype=dtype)
+        if unet_sd is not None:
+            pipe.unet_params = SD.convert_sd_module(unet_sd, dtype)
+        if text_encoder_sd is not None:
+            pipe.text_encoder_params = SD.convert_sd_module(text_encoder_sd, dtype)
+        if vae_encoder_sd is not None:
+            pipe.vae_encoder_params = SD.convert_sd_module(vae_encoder_sd, dtype)
+        if vae_decoder_sd is not None:
+            pipe.vae_decoder_params = SD.convert_sd_module(vae_decoder_sd, dtype)
+        if tokenizer_path:
+            from transformers import CLIPTokenizer
+            pipe.tokenizer = CLIPTokenizer.from_pretrained(tokenizer_path)
+        return pipe
+
+    def encode_prompt(self, prompt: str, clip_skip: int = 1):
+        if self.tokenizer is not None:
+            enc = self.tokenizer([prompt], padding="max_length", truncation=True,
+                                 max_length=77, return_tensors="np")
+            ids = enc["input_ids"].astype(np.int32)
+        else:
+            n = min(len(prompt.split()) + 2, 77)
+            ids = np.zeros((1, 77), np.int32)
+            ids[0, :n] = (np.arange(n) + 1) % 49408
+        return SD.sd_text_encoder_forward(
+            self.text_encoder_params, jnp.asarray(ids), clip_skip=clip_skip,
+            num_layers=self.num_text_layers)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 7.5,
+        clip_skip: int = 1,
+        input_image=None,
+        denoising_strength: float = 1.0,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 20,
+        seed: Optional[int] = None,
+        return_latents: bool = False,
+        progress_bar_cmd=None,
+    ):
+        self.scheduler.set_timesteps(num_inference_steps,
+                                     denoising_strength=denoising_strength)
+        noise = jnp.asarray(
+            generate_noise((1, 4, height // 8, width // 8), seed=seed), self.dtype)
+        if input_image is not None:
+            img = np.asarray(input_image.resize((width, height)), np.float32)
+            img = (img / 127.5 - 1.0).transpose(2, 0, 1)[None]
+            lat = SD.sd_vae_encoder_forward(self.vae_encoder_params,
+                                            jnp.asarray(img, self.dtype))
+            latents = jnp.asarray(self.scheduler.add_noise(
+                np.asarray(lat, np.float32), np.asarray(noise, np.float32),
+                self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = noise
+
+        ctx_posi = self.encode_prompt(prompt, clip_skip)
+        ctx_nega = (self.encode_prompt(negative_prompt, clip_skip)
+                    if cfg_scale != 1.0 else None)
+
+        if "unet" not in self._jit:
+            self._jit["unet"] = jax.jit(SD.sd_unet_forward)
+        unet = self._jit["unet"]
+
+        steps = range(len(self.scheduler.timesteps))
+        if progress_bar_cmd is not None:
+            steps = progress_bar_cmd(steps)
+        for i in steps:
+            t = self.scheduler.timesteps[i]
+            tj = jnp.asarray([t], jnp.float32)
+            eps_posi = unet(self.unet_params, latents, tj, ctx_posi)
+            if cfg_scale != 1.0:
+                eps_nega = unet(self.unet_params, latents, tj, ctx_nega)
+                eps = eps_nega + cfg_scale * (eps_posi - eps_nega)
+            else:
+                eps = eps_posi
+            latents = jnp.asarray(self.scheduler.step(
+                np.asarray(eps, np.float32), t, np.asarray(latents, np.float32)),
+                self.dtype)
+
+        if return_latents:
+            return latents
+        image = SD.sd_vae_decoder_forward(self.vae_decoder_params, latents)
+        arr = np.asarray(image[0], np.float32).transpose(1, 2, 0)
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        from PIL import Image
+        return Image.fromarray(arr)
