@@ -38,8 +38,14 @@ class WanPrompter:
         self.cfg = cfg
         self.tokenizer = None
         self.text_encoder_params = None
+        # refiner/extender hooks (base_prompter.py:38-70)
+        from .prompt_extend import PromptRefinerChain
+        self.refiners = PromptRefinerChain()
         if tokenizer_path is not None:
             self.fetch_tokenizer(tokenizer_path)
+
+    def process_prompt(self, prompt: str, positive: bool = True) -> str:
+        return self.refiners(prompt, positive=positive)
 
     def fetch_tokenizer(self, tokenizer_path: str):
         from transformers import AutoTokenizer
@@ -58,6 +64,7 @@ class WanPrompter:
         """-> (1, text_len, dim) embeddings, zeroed past the sequence length."""
         if self.tokenizer is None or self.text_encoder_params is None:
             raise RuntimeError("prompter needs fetch_tokenizer + fetch_models first")
+        prompt = self.process_prompt(prompt, positive=positive)
         ids, mask = self.tokenize(prompt)
         emb = t5_encode(self.text_encoder_params, self.cfg,
                         jnp.asarray(ids), jnp.asarray(mask))
