@@ -51,6 +51,20 @@ class SDImagePipeline:
             pipe.tokenizer = CLIPTokenizer.from_pretrained(tokenizer_path)
         return pipe
 
+    @classmethod
+    def from_civitai_file(cls, path: str, tokenizer_path: Optional[str] = None,
+                          dtype=jnp.float32):
+        """Load a civitai single-file SD-1.5 checkpoint (the reference
+        ModelManager path) via the algorithmic LDM-name converters."""
+        from ..utils.ckpt import load_state_dict
+        from ..utils.sd_civitai import convert_sd_civitai
+        parts = convert_sd_civitai(load_state_dict(path))
+        return cls.from_state_dicts(
+            unet_sd=parts["unet"], text_encoder_sd=parts["text_encoder"],
+            vae_encoder_sd=parts["vae_encoder"],
+            vae_decoder_sd=parts["vae_decoder"],
+            tokenizer_path=tokenizer_path, dtype=dtype)
+
     def encode_prompt(self, prompt: str, clip_skip: int = 1):
         if self.tokenizer is not None:
             enc = self.tokenizer([prompt], padding="max_length", truncation=True,
