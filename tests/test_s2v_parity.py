@@ -75,3 +75,30 @@ def test_s2v_forward_parity():
                           jnp.asarray(audio.numpy()),
                           motion_latents=jnp.asarray(motion.numpy()))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3, atol=5e-4)
+
+
+@needs_ref
+def test_s2v_pipeline_generate():
+    from PIL import Image
+    import jax
+    from test_pipeline import _tiny_pipe
+    model, cfg, params = _build()
+    pipe = _tiny_pipe(with_vace=False)
+    # tiny VAE z=4 but S2V tiny expects 16-ch latents; rebuild s2v cfg at z=4
+    import torch
+    ref = load_ref("models.wan_video_dit_s2v")
+    torch.manual_seed(0)
+    tiny4 = dict(TINY, in_dim=4, out_dim=4, cond_dim=4)
+    model4 = ref.WanS2VModel(**tiny4).eval()
+    cfg4 = WanS2VConfig(**{**{k: tuple(v) if isinstance(v, list) else v
+                              for k, v in tiny4.items()}})
+    pipe.s2v_cfg = cfg4
+    pipe.s2v_params = convert_wan_s2v(model4.state_dict(), cfg4, dtype=jnp.float32)
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    ref_img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), _np.uint8))
+    audio = rng.standard_normal((1, 25, 16, 8)).astype(_np.float32)
+    lat = pipe.s2v("speak", ref_img, audio, num_frames=8, height=32, width=32,
+                   cfg_scale=1.0, num_inference_steps=2, seed=0,
+                   return_latents=True)
+    assert lat.shape == (1, 4, 2, 4, 4)

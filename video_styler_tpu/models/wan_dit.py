@@ -251,11 +251,16 @@ def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig):
 
 def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
                vace_hints=None, vace_layers: Optional[Tuple[int, ...]] = None,
-               vace_scale: float = 1.0, remat: bool = False):
+               vace_scale: float = 1.0, remat: bool = False,
+               segment_layers: Optional[Tuple[int, ...]] = None,
+               segment_callback=None):
     """Run the block stack with lax.scan over stacked weights.
 
-    VACE hints are added after mapped layers (wan_video_new.py:1444-1450) by
-    splitting the scan into segments that end at each VACE layer.
+    Two per-layer injection mechanisms, both via segmented scans:
+    - VACE hints added after mapped layers (wan_video_new.py:1444-1450)
+    - a general `segment_callback(seg_idx, x) -> x` after each layer in
+      `segment_layers` (Animate face blocks, wan_video_animate_adapter
+      after_transformer_block every 5th layer)
     """
     body = dit_block
     if remat:
@@ -265,15 +270,21 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
         return body(layer_p, carry, context, t_mod, cos, sin, cfg), None
 
     n = num_blocks(blocks)
-    if vace_hints is None or vace_layers is None:
+    if segment_layers is None and (vace_hints is None or vace_layers is None):
         x, _ = jax.lax.scan(scan_fn, x, blocks)
         return x
 
+    if segment_layers is None:
+        segment_layers = vace_layers
+
+        def segment_callback(i, x):  # noqa: default VACE hint injection
+            return x + vace_hints[i].astype(x.dtype) * vace_scale
+
     start = 0
-    for i, layer in enumerate(vace_layers):
+    for i, layer in enumerate(segment_layers):
         seg = slice_blocks(blocks, start, layer + 1)
         x, _ = jax.lax.scan(scan_fn, x, seg)
-        x = x + vace_hints[i].astype(x.dtype) * vace_scale
+        x = segment_callback(i, x)
         start = layer + 1
     if start < n:
         x, _ = jax.lax.scan(scan_fn, x, slice_blocks(blocks, start, n))

@@ -140,6 +140,9 @@ class WanVideoPipeline:
         self.t5_cfg: T5Config = UMT5_XXL
         self.image_encoder_params = None
         self.image_encoder_cfg = None
+        self.animate_params = None
+        self.s2v_params = None
+        self.s2v_cfg = None
         self.sharding_ctx = None
         self._jit_cache = {}
 
@@ -182,6 +185,13 @@ class WanVideoPipeline:
         elif kind == "t5":
             from ..models.t5 import convert_t5
             self.text_encoder_params = convert_t5(sd, self.t5_cfg, dtype=self.dtype)
+        elif kind == "animate":
+            from ..models.wan_animate import convert_wan_animate
+            self.animate_params = convert_wan_animate(sd, dtype=self.dtype)
+        elif kind == "s2v":
+            from ..models.wan_s2v import WanS2VConfig, convert_wan_s2v
+            self.s2v_cfg = WanS2VConfig()
+            self.s2v_params = convert_wan_s2v(sd, self.s2v_cfg, dtype=self.dtype)
         elif kind == "clip":
             from ..models.clip_vit import convert_clip_vit, CLIP_VIT_H_14
             self.image_encoder_cfg = CLIP_VIT_H_14
@@ -315,13 +325,13 @@ class WanVideoPipeline:
     # ---------------- jitted model functions ----------------
 
     def _model_fns(self, which: str, use_vace: bool, rope_indices=None,
-                   use_image: bool = False):
+                   use_image: bool = False, use_animate: bool = False):
         """Build (full, skip, t_mod) jitted fns for a DiT expert.
 
         full: -> (velocity, trunk_residual); skip: replay cached residual
         (TeaCache update path, wan_video_new.py:1418-1419,1455-1456).
         """
-        key = (which, use_vace, use_image,
+        key = (which, use_vace, use_image, use_animate,
                None if rope_indices is None else tuple(np.asarray(rope_indices).tolist()))
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -330,7 +340,8 @@ class WanVideoPipeline:
         ri = None if rope_indices is None else np.asarray(rope_indices)
 
         def full(params, vace_params, latents, timestep, context,
-                 vace_context, vace_scale, clip_feature=None, y=None):
+                 vace_context, vace_scale, clip_feature=None, y=None,
+                 animate_params=None, pose_latents=None, face_values=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
             ctx = M.text_embed(params, context)
             if use_image:
@@ -348,11 +359,31 @@ class WanVideoPipeline:
             if use_vace:
                 hints = vace_forward(vace_params, vcfg, tokens, vace_context,
                                      ctx, t_mod, cos, sin)
+            seg_layers = None
+            seg_cb = None
+            if use_animate:
+                # Animate (wan_video_animate_adapter.py:582-609): pose tokens
+                # added to frames 1.., face blocks fused every 5th layer
+                from ..models import wan_animate as A
+                tokens5 = tokens.reshape(tokens.shape[0], f, h, w, cfg.dim)
+                tokens5 = tokens5.transpose(0, 4, 1, 2, 3)
+                tokens5, motion_vec = A.animate_after_patch_embedding(
+                    animate_params, tokens5, pose_latents, face_values)
+                tokens = tokens5.transpose(0, 2, 3, 4, 1).reshape(
+                    tokens.shape[0], f * h * w, cfg.dim)
+                seg_layers = tuple(range(0, cfg.num_layers, 5))
+
+                def seg_cb(i, x):
+                    return A.animate_after_transformer_block(
+                        animate_params, i * 5, x, motion_vec,
+                        heads_num=cfg.num_heads)
             tokens_pre = tokens
             tokens = M.run_blocks(params["blocks"], tokens, ctx, t_mod, cos,
                                   sin, cfg, vace_hints=hints,
                                   vace_layers=None if hints is None else vcfg.vace_layers,
-                                  vace_scale=vace_scale)
+                                  vace_scale=vace_scale,
+                                  segment_layers=seg_layers,
+                                  segment_callback=seg_cb)
             residual = tokens - tokens_pre
             out = M.head(params, cfg, tokens, t)
             v = M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
@@ -378,19 +409,27 @@ class WanVideoPipeline:
 
     def _branch_forward(self, which, params, vace_params, latents, timestep,
                         context, vace_context, vace_scale, tea_cache,
-                        rope_indices=None, clip_feature=None, y=None):
+                        rope_indices=None, clip_feature=None, y=None,
+                        animate_inputs=None):
         use_vace = vace_context is not None
         use_image = clip_feature is not None or y is not None
+        use_animate = animate_inputs is not None
         full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices,
-                                                 use_image)
+                                                 use_image, use_animate)
         vs = jnp.asarray(vace_scale, jnp.float32)
         if tea_cache is not None:
             t_mod = t_mod_only(params, timestep)
             if tea_cache.check(t_mod) and tea_cache.previous_residual is not None:
                 return skip(params, latents, timestep, context,
                             tea_cache.previous_residual, y)
-        v, _, residual = full(params, vace_params, latents, timestep, context,
-                              vace_context, vs, clip_feature, y)
+        if use_animate:
+            pose_latents, face_values = animate_inputs
+            v, _, residual = full(params, vace_params, latents, timestep,
+                                  context, vace_context, vs, clip_feature, y,
+                                  self.animate_params, pose_latents, face_values)
+        else:
+            v, _, residual = full(params, vace_params, latents, timestep,
+                                  context, vace_context, vs, clip_feature, y)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -399,14 +438,15 @@ class WanVideoPipeline:
                               timestep, ctx_posi, ctx_nega, vace_context,
                               vace_scale, cfg_scale, tc_posi, tc_nega,
                               cfg_merge=False, rope_indices=None,
-                              clip_feature=None, y=None):
+                              clip_feature=None, y=None, animate_inputs=None):
         """One denoise velocity: CFG via merged batch or two passes."""
         if cfg_scale == 1.0 or ctx_nega is None:
             return self._branch_forward(which, params, vace_params, latents,
                                         timestep, ctx_posi, vace_context,
                                         vace_scale, tc_posi,
                                         rope_indices=rope_indices,
-                                        clip_feature=clip_feature, y=y)
+                                        clip_feature=clip_feature, y=y,
+                                        animate_inputs=animate_inputs)
         if cfg_merge:
             # CfgMerger (wan_video_new.py:951-969): one batched forward
             ctx = jnp.concatenate([ctx_posi, ctx_nega], axis=0)
@@ -426,12 +466,14 @@ class WanVideoPipeline:
                                           timestep, ctx_posi, vace_context,
                                           vace_scale, tc_posi,
                                           rope_indices=rope_indices,
-                                          clip_feature=clip_feature, y=y)
+                                          clip_feature=clip_feature, y=y,
+                                          animate_inputs=animate_inputs)
             v_nega = self._branch_forward(which, params, vace_params, latents,
                                           timestep, ctx_nega, vace_context,
                                           vace_scale, tc_nega,
                                           rope_indices=rope_indices,
-                                          clip_feature=clip_feature, y=y)
+                                          clip_feature=clip_feature, y=y,
+                                          animate_inputs=animate_inputs)
         return v_nega + cfg_scale * (v_posi - v_nega)
 
     @staticmethod
@@ -464,6 +506,65 @@ class WanVideoPipeline:
             weight[:, :, t0:t1] += mask
         return jnp.asarray(value / weight)
 
+    def s2v(self, prompt: str, ref_image, audio_input,
+            negative_prompt: str = "", num_frames: int = 80,
+            height: int = 448, width: int = 832, cfg_scale: float = 4.5,
+            num_inference_steps: int = 40, sigma_shift: float = 5.0,
+            motion_latents=None, pose_video=None, seed=None,
+            tiled: bool = False, tile_size=(30, 52), tile_stride=(15, 26),
+            return_latents: bool = False):
+        """Speech-to-video generation (model_fn_wans2v path,
+        wan_video_new.py:1471+): reference-image latent fused at frame 0,
+        audio features injected per block.
+
+        audio_input: (1, num_audio_layers, audio_dim, num_frames) wav2vec
+        layer features (extract with transformers.Wav2Vec2Model) — the
+        `audio_embeds` contract of the reference unit.
+        """
+        from ..models.wan_s2v import wan_s2v_forward
+        if self.s2v_params is None:
+            raise RuntimeError("no S2V model attached")
+        kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
+        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
+        ref_np = _preprocess_images([ref_image.resize((width, height))])
+        ref_lat = self.encode_video(ref_np, **kw)
+        z = self.vae_cfg.z_dim
+        up = self.vae_cfg.upsampling_factor
+        t_lat = (num_frames - 1) // 4 + 1
+        noise = jnp.asarray(generate_noise(
+            (1, z, t_lat, height // up, width // up), seed=seed), self.dtype)
+        latents = jnp.concatenate([ref_lat, noise], axis=2)
+
+        pose_cond = None
+        if pose_video is not None:
+            pose_cond = self.encode_video(_preprocess_images(pose_video), **kw)
+
+        ctx_posi = self.encode_prompt(prompt)
+        ctx_nega = self.encode_prompt(negative_prompt) if cfg_scale != 1.0 else None
+
+        cfg = self.s2v_cfg
+        fwd = jax.jit(lambda params, lat, t, ctx, audio: wan_s2v_forward(
+            params, cfg, lat, t, ctx, audio, motion_latents=motion_latents,
+            pose_cond=pose_cond))
+        audio = jnp.asarray(audio_input, self.dtype)
+        for i in range(len(self.scheduler.timesteps)):
+            t_host = float(self.scheduler.timesteps[i])
+            timestep = jnp.asarray([t_host], jnp.float32)
+            v_posi = fwd(self.s2v_params, latents, timestep, ctx_posi, audio)
+            if cfg_scale != 1.0:
+                v_nega = fwd(self.s2v_params, latents, timestep, ctx_nega, audio)
+                v = v_nega + cfg_scale * (v_posi - v_nega)
+            else:
+                v = v_posi
+            sigma, sigma_next = self.scheduler.sigma_pair(i)
+            latents = (latents.astype(jnp.float32)
+                       + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+            latents = latents.at[:, :, :1].set(ref_lat.astype(self.dtype))
+        latents = latents[:, :, 1:]
+        if return_latents:
+            return latents
+        return self.vae_output_to_video(self.decode_video(latents, **kw))
+
     # ---------------- main call ----------------
 
     def __call__(
@@ -478,6 +579,8 @@ class WanVideoPipeline:
         vace_video_mask=None,
         vace_reference_image=None,
         vace_scale: float = 1.0,
+        animate_pose_video=None,
+        animate_face_video=None,
         seed: Optional[int] = None,
         height: int = 480,
         width: int = 832,
@@ -544,6 +647,16 @@ class WanVideoPipeline:
         clip_feature, y = self.build_image_conditioning(
             input_image, end_image, num_frames, height, width, **kw)
 
+        # Animate (pose latents via VAE, face pixel values at 512x512)
+        animate_inputs = None
+        if (animate_pose_video is not None and animate_face_video is not None
+                and self.animate_params is not None):
+            pose_lat = self.encode_video(_preprocess_images(animate_pose_video), **kw)
+            fsz = getattr(self, "animate_face_size", 512)
+            faces = [im.resize((fsz, fsz)) for im in animate_face_video]
+            face_values = jnp.asarray(_preprocess_images(faces), self.dtype)
+            animate_inputs = (pose_lat, face_values)
+
         # TeaCache per branch
         tc_posi = tc_nega = None
         if tea_cache_l1_thresh is not None:
@@ -576,7 +689,7 @@ class WanVideoPipeline:
                     which, params, vace_params, latents, timestep, ctx_posi,
                     ctx_nega, vace_context, vace_scale, cfg_scale, tc_posi,
                     tc_nega, cfg_merge=cfg_merge, clip_feature=clip_feature,
-                    y=y)
+                    y=y, animate_inputs=animate_inputs)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)

@@ -111,8 +111,13 @@ def detect_vace_config(sd: Dict) -> Optional[VaceConfig]:
 
 
 def detect_model_kind(sd: Dict) -> str:
-    """Coarse dispatch over the four Wan model families."""
+    """Coarse dispatch over the Wan model families."""
     keys = sd.keys()
+    if "casual_audio_encoder.weights" in sd:
+        return "s2v"
+    if any(k.startswith("face_adapter.") or k.startswith("pose_patch_embedding.")
+           for k in keys):
+        return "animate"
     if any(k.startswith("vace_blocks.") or k.startswith("vace.vace_blocks.") for k in keys):
         if "blocks.0.self_attn.q.weight" in sd:
             return "dit+vace"
