@@ -1,0 +1,61 @@
+"""Multi-device inference: the pipeline's jitted model under a dp/fsdp/sp
+mesh with the GSPMD sharding context, on the 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_styler_tpu.models.wan_dit import WanDiTConfig, init_wan_dit, wan_dit_forward
+from video_styler_tpu.parallel import (
+    make_mesh, ShardingContext, use_sharding, shard_params_fsdp,
+    ulysses_attention,
+)
+from video_styler_tpu.ops.attention import sdpa
+
+
+# heads divisible by sp=2, head_dim 48
+CFG = WanDiTConfig(dim=4 * 48, in_dim=16, ffn_dim=384, out_dim=16,
+                   num_heads=4, num_layers=2, text_dim=64, freq_dim=32)
+
+
+def test_sharded_forward_matches_single_device():
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 4, 8, 8))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64))
+
+    ref = wan_dit_forward(params, CFG, x, t, ctx)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    sharded_params = shard_params_fsdp(params, mesh)
+    with use_sharding(ShardingContext(mesh)):
+        fwd = jax.jit(lambda p, x, t, c: wan_dit_forward(p, CFG, x, t, c))
+        out = fwd(sharded_params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ulysses_attention_matches_sdpa():
+    mesh = make_mesh(dp=1, fsdp=1, sp=4)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 4, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 4, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 4, 16))
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(ulysses_attention(q, k, v, mesh, axis="sp"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_denoise_under_sharding():
+    """Tiny end-to-end denoise with params FSDP-sharded over the mesh."""
+    from test_pipeline import _tiny_pipe
+    try:
+        pipe = _tiny_pipe(with_vace=False)
+    except Exception:
+        pytest.skip("tiny pipe needs reference VAE")
+    mesh = make_mesh(dp=1, fsdp=2, sp=2)
+    pipe.dit_params = shard_params_fsdp(pipe.dit_params, mesh)
+    with use_sharding(ShardingContext(mesh)):
+        lat = pipe("a cat", num_frames=5, height=32, width=32, seed=7,
+                   num_inference_steps=2, cfg_scale=1.0, tiled=False,
+                   return_latents=True)
+    assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())

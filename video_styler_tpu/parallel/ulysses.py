@@ -49,5 +49,10 @@ def ulysses_attention(q, k, v, mesh: Mesh, axis: str = "sp", scale=None):
         return gather_seq(out)
 
     spec = P(None, axis, None, None)
-    return shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+    try:
+        smap = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)
+    except TypeError:  # older jax uses check_rep
+        smap = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_rep=False)
+    return smap(q, k, v)
