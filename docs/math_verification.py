@@ -1,0 +1,70 @@
+"""Numerical sanity checks for the editor's velocity-field correction.
+
+The reference docs cite a `math_verification.py` that was never shipped;
+this is a runnable one. Three properties on a 1-D rectified-flow toy:
+
+1. FIXED POINT: with coupled noise and identical velocity fields the
+   keyframe divergence is exactly zero for any alpha — the correction never
+   perturbs an already-consistent pair.
+
+2. dt-UNIT SENSITIVITY: the reference computes
+   `dt = timesteps[i] - timesteps[i+1]` in *timestep* units (~20/step at 50
+   steps), so `alpha * dt ~ 200` at alpha=10. In a linearized model
+   (v = (z - x0)/sigma) that feedback gain is unstable: a small perturbation
+   amplifies. With dt in *sigma* units (/1000) the same correction contracts
+   monotonically in alpha. The full DiT is stable in practice because its
+   velocity output is bounded (it does not grow linearly in z), but the
+   linear analysis shows the correction strength is effectively set by
+   alpha*dt, i.e. the published alpha=10 is calibrated to timestep-unit dt.
+
+3. CONTRACTION (sigma units): keyframe divergence decreases with alpha.
+
+Run: python docs/math_verification.py
+"""
+import numpy as np
+
+
+def simulate(alpha, dt_units: str, steps: int = 50, seed: int = 0,
+             shift: float = 5.0, perturb: float = 0.1):
+    rng = np.random.default_rng(seed)
+    x0 = 1.0
+    eps = rng.standard_normal()
+    s = np.linspace(1.0, 0.0, steps + 1)
+    s = shift * s / (1 + (shift - 1) * s)
+    z_main, z_edit = eps + perturb, eps
+    for i in range(steps):
+        sig, sig_n = s[i], s[i + 1]
+        ds = sig_n - sig
+        dt = (sig - sig_n) * (1000.0 if dt_units == "timestep" else 1.0)
+        v_main = (z_main - x0) / max(sig, 1e-4)
+        v_edit = (z_edit - x0) / max(sig, 1e-4)
+        r_k = (z_main - z_edit) - (v_main - v_edit) * dt
+        z_main = z_main + (v_main + alpha * r_k) * ds
+        z_edit = z_edit + v_edit * ds
+    return abs(z_main - z_edit)
+
+
+def main():
+    # 1. fixed point
+    fp = simulate(alpha=10.0, dt_units="timestep", perturb=0.0)
+    print(f"fixed point (coupled start, identical fields): gap = {fp:.2e}")
+    assert fp < 1e-12
+
+    # 2. dt-unit sensitivity
+    g_ts = simulate(alpha=10.0, dt_units="timestep")
+    g_sig = simulate(alpha=10.0, dt_units="sigma")
+    print(f"perturbed gap at alpha=10: dt in timestep units -> {g_ts:.3e} "
+          f"(unstable in the linear model), dt in sigma units -> {g_sig:.3e}")
+    assert g_sig < 0.1 < g_ts
+
+    # 3. contraction in sigma units
+    gaps = [np.mean([simulate(a, "sigma", seed=s) for s in range(8)])
+            for a in (0.0, 1.0, 10.0)]
+    print("sigma-unit gaps for alpha 0/1/10:",
+          " ".join(f"{g:.4f}" for g in gaps))
+    assert gaps[2] < gaps[1] < gaps[0]
+    print("all checks passed ✓")
+
+
+if __name__ == "__main__":
+    main()
