@@ -1,2 +1,5 @@
 from .wan_video import WanVideoPipeline, ModelConfig
 from .wan_video_editor import WanVideoEditorPipeline
+from .wan_enhancer import WanEnhancerPipeline
+from .sd_image import SDImagePipeline
+from .sdxl_image import SDXLImagePipeline
