@@ -154,3 +154,22 @@ def test_sliding_window_denoise():
                return_latents=True)
     assert lat.shape == (1, 4, 5, 4, 4)
     assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_ti2v_fused_first_frame_pinned():
+    """fuse_vae_embedding_in_latents: the first-frame latent survives the
+    denoise loop untouched (ImageEmbedderFused semantics)."""
+    import dataclasses
+    pipe = _tiny_pipe(with_vace=False)
+    pipe.dit_cfg = dataclasses.replace(TINY_DIT,
+                                       fuse_vae_embedding_in_latents=True)
+    img = _frames(1)[0]
+    lat = pipe("animate", input_image=img, num_frames=5, height=32, width=32,
+               seed=1, num_inference_steps=2, cfg_scale=1.0, tiled=False,
+               return_latents=True)
+    from video_styler_tpu.pipelines.wan_video import _preprocess_images
+    z0 = np.asarray(pipe.encode_video(
+        _preprocess_images([img.resize((32, 32))]), tiled=False), np.float32)
+    np.testing.assert_allclose(np.asarray(lat[:, :, 0:1], np.float32), z0,
+                               rtol=1e-3, atol=1e-4)

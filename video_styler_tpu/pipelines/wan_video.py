@@ -647,6 +647,16 @@ class WanVideoPipeline:
         clip_feature, y = self.build_image_conditioning(
             input_image, end_image, num_frames, height, width, **kw)
 
+        # TI2V-5B fused path (ImageEmbedderFused, wan_video_new.py:731-748):
+        # first-frame latent written into the noise and pinned each step
+        first_frame_latents = None
+        if (input_image is not None and self.dit_cfg is not None
+                and self.dit_cfg.fuse_vae_embedding_in_latents):
+            img_np = _preprocess_images([input_image.resize((width, height))])
+            z0 = self.encode_video(img_np, **kw)
+            first_frame_latents = z0.astype(self.dtype)
+            latents = latents.at[:, :, 0:1].set(first_frame_latents)
+
         # Animate (pose latents via VAE, face pixel values at 512x512)
         animate_inputs = None
         if (animate_pose_video is not None and animate_face_video is not None
@@ -693,6 +703,8 @@ class WanVideoPipeline:
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+            if first_frame_latents is not None:
+                latents = latents.at[:, :, 0:1].set(first_frame_latents)
 
         if ref_count:
             latents = latents[:, :, ref_count:]
