@@ -1,65 +1,222 @@
-"""Benchmark: Wan DiT denoising step on the real TPU chip.
+"""Benchmark: the Ditto north-star (14B VACE edit, 480x832x73) on real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Headline: Wan2.1-T2V-1.3B DiT forward step (one CFG branch) at 480x832x81
-(latent 21x60x104 -> seq 32,760 tokens, the Ditto working resolution),
-bf16, Pallas flash attention. The chip here is a single v5e; the reference
-baseline (BASELINE.md) is ~4 min/video for the quantized 14B ComfyUI path on
-an A6000 — we report projected sec/video for the full 50-step x 2-branch
-1.3B denoise as the tracking metric and the DiT step ms as `value`.
+BASELINE.md's tracked metric is sec/video for the Wan2.1-VACE-14B instruction
+edit at 832x480x73 (the reference quotes ~4 min on one A6000 for the
+fp8-quantized + CausVid-distilled ComfyUI path; the full-quality bf16 path is
+far slower). We measure on ONE v5e chip:
 
-vs_baseline: ratio of reference-quoted per-video wall time (240 s) to our
-projected full-denoise wall time for the same step count on this chip
-(>1 means faster than the reference number; note model sizes differ until
-the 14B multi-chip path is benched on a pod).
+  1. a real 14B-dimension DiT block stack (dim 5120 / 40 heads / ffn 13824,
+     N layers that fit HBM) at the edit's 29,640-token sequence -> per-block
+     ms -> extrapolated 14B+VACE (40 trunk + 8 vace blocks) step time;
+  2. umT5-xxl text encode (512 tokens);
+  3. full-size Wan2.1 VAE tiled encode + decode at 480x832x73;
+  4. a measured end-to-end 1.3B VACE edit (2 steps, scaled to 50) as the
+     e2e-shape check (infer_ditto smoke).
+
+value / vs_baseline: projected sec/video for the full-quality bf16 14B VACE
+edit on this single v5e chip vs the 240 s reference figure. This is the
+like-for-like capability number (same model, same shapes); the quantization
+gap (their fp8+distill vs our bf16 full quality) and the v5p-8 target
+projection are spelled out in `extra`.
 """
+import gc
 import json
 import time
 
-import numpy as np
+
+def _sync(x):
+    """Force materialization; block_until_ready does not synchronize through
+    the axon tunnel."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _time(fn, n=3):
+    import time
+    out = fn()
+    _sync(out)  # warm-up/compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def bench_dit_block_14b(seq_tokens: int):
+    """Measured ms per 14B-dimension DiT block at the edit sequence length."""
+    import jax
+    import jax.numpy as jnp
+    from video_styler_tpu.models.wan_dit import (
+        WanDiTConfig, init_wan_dit, wan_dit_forward)
+
+    n_layers = 4  # ~1 GB bf16; measured cost scales linearly in layers
+    cfg = WanDiTConfig(dim=5120, in_dim=16, ffn_dim=13824, out_dim=16,
+                       num_heads=40, num_layers=n_layers)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # 73f 480x832 -> latent (1, 16, 19, 60, 104) -> seq 19*30*52 = 29,640
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 19, 60, 104), jnp.bfloat16)
+    ts = jnp.asarray([800.0], jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
+    fwd = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c))
+    total_ms = _time(lambda: fwd(params, lat, ts, ctx))
+    # embed/patchify/head overhead is measured inside total; attribute it by
+    # measuring a 1-layer config too and solving block_ms from the difference
+    cfg1 = WanDiTConfig(dim=5120, in_dim=16, ffn_dim=13824, out_dim=16,
+                        num_heads=40, num_layers=1)
+    params1 = jax.tree_util.tree_map(
+        lambda x: x, init_wan_dit(jax.random.PRNGKey(0), cfg1, dtype=jnp.bfloat16))
+    fwd1 = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg1, x, t, c))
+    one_ms = _time(lambda: fwd1(params1, lat, ts, ctx))
+    block_ms = (total_ms - one_ms) / (n_layers - 1)
+    overhead_ms = max(one_ms - block_ms, 0.0)
+    del params, params1
+    gc.collect()
+    return block_ms, overhead_ms, total_ms
+
+
+def bench_t5():
+    import jax
+    import jax.numpy as jnp
+    from video_styler_tpu.models.t5 import UMT5_XXL, init_t5, t5_encode
+
+    cfg = UMT5_XXL
+    params = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    ids = jnp.zeros((1, 512), jnp.int32)
+    mask = jnp.ones((1, 512), jnp.int32)
+    fwd = jax.jit(lambda p, i, m: t5_encode(p, cfg, i, m))
+    ms = _time(lambda: fwd(params, ids, mask))
+    del params
+    gc.collect()
+    return ms
+
+
+def bench_vae():
+    """Full-size Wan2.1 VAE tiled encode+decode at 480x832x73."""
+    import jax
+    import jax.numpy as jnp
+    import video_styler_tpu.models.wan_vae as V
+
+    cfg = V.WAN21_VAE
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        V.init_wan_vae(jax.random.PRNGKey(0), cfg))
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 73, 480, 832), jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    lat = V.encode(params, video, cfg, tiled=True)
+    _sync(lat)
+    enc_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    out = V.decode(params, lat.astype(jnp.bfloat16), cfg, tiled=True)
+    _sync(out)
+    dec_ms = (time.perf_counter() - t0) * 1e3
+    del params, video, lat, out
+    gc.collect()
+    return enc_ms, dec_ms
+
+
+def bench_e2e_smoke():
+    """Measured end-to-end 1.3B VACE edit at 480x832x73, 2 denoise steps;
+    returns (measured_s, per_step_s) so 50-step wall time can be projected."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from video_styler_tpu.models.wan_dit import WAN_T2V_1_3B, init_wan_dit
+    from video_styler_tpu.models.wan_vace import VACE_1_3B, init_vace
+    import video_styler_tpu.models.wan_vae as V
+    from video_styler_tpu.pipelines import WanVideoPipeline
+
+    pipe = WanVideoPipeline(dtype=jnp.bfloat16)
+    pipe.dit_cfg = WAN_T2V_1_3B
+    pipe.dit_params = init_wan_dit(jax.random.PRNGKey(0), pipe.dit_cfg,
+                                   dtype=jnp.bfloat16)
+    pipe.vace_cfg = VACE_1_3B
+    pipe.vace_params = init_vace(jax.random.PRNGKey(1), VACE_1_3B,
+                                 dtype=jnp.bfloat16)
+    pipe.vae_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        V.init_wan_vae(jax.random.PRNGKey(2), V.WAN21_VAE))
+    # bypass the prompter: random context (timing only)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 512, 4096), jnp.bfloat16)
+    pipe.encode_prompt = lambda prompt: ctx
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (480, 832, 3), np.uint8))
+              for _ in range(73)]
+    t0 = time.perf_counter()
+    lat = pipe("restyle", vace_video=frames, num_frames=73, height=480,
+               width=832, seed=0, num_inference_steps=2, cfg_scale=5.0,
+               tiled=True, return_latents=True)
+    _sync(lat)
+    lat = np.asarray(pipe.decode_video(lat, tiled=True))
+    total_s = time.perf_counter() - t0
+
+    # isolate per-step denoise cost (posi+nega branches, compiled)
+    t0 = time.perf_counter()
+    lat2 = pipe("restyle", vace_video=frames, num_frames=73, height=480,
+                width=832, seed=0, num_inference_steps=4, cfg_scale=5.0,
+                tiled=True, return_latents=True)
+    _sync(lat2)
+    four_step_s = time.perf_counter() - t0
+    # crude but measured: 2 extra steps cost (four_step_s - pre/post shared)
+    return total_s, four_step_s
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from video_styler_tpu.models import WAN_T2V_1_3B, init_wan_dit, wan_dit_forward
 
-    cfg = WAN_T2V_1_3B
-    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    device = str(jax.devices()[0])
+    extra = {"device": device}
 
-    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, 60, 104), jnp.bfloat16)
-    ts = jnp.asarray([800.0], jnp.float32)
-    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, cfg.text_dim), jnp.bfloat16)
+    seq = 19 * 30 * 52  # 29,640 tokens (73f 480x832 after (1,2,2) patchify)
+    block_ms, overhead_ms, meas4_ms = bench_dit_block_14b(seq)
+    extra["dit14b_block_ms"] = round(block_ms, 2)
+    extra["dit14b_embed_head_overhead_ms"] = round(overhead_ms, 2)
 
-    fwd = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c))
+    t5_ms = bench_t5()
+    extra["umt5xxl_encode_ms"] = round(t5_ms, 1)
 
-    # warm-up/compile; force full materialization (block_until_ready does not
-    # synchronize through the axon tunnel)
-    out = fwd(params, lat, ts, ctx)
-    _ = float(jnp.sum(out.astype(jnp.float32)))
+    vae_enc_ms, vae_dec_ms = bench_vae()
+    extra["vae_tiled_encode_ms_480p73f"] = round(vae_enc_ms, 1)
+    extra["vae_tiled_decode_ms_480p73f"] = round(vae_dec_ms, 1)
 
-    n = 5
-    x = lat
-    t0 = time.perf_counter()
-    for _ in range(n):
-        x = fwd(params, x, ts, ctx)
-    _ = float(jnp.sum(x.astype(jnp.float32)))
-    step_ms = (time.perf_counter() - t0) / n * 1e3
+    e2e_2step_s, e2e_4step_s = bench_e2e_smoke()
+    step_pair_s = max((e2e_4step_s - e2e_2step_s) / 2, 1e-6)
+    wan13b_video_s = e2e_2step_s + 48 * step_pair_s  # scale 2 -> 50 steps
+    extra["wan13b_e2e_measured_2step_s"] = round(e2e_2step_s, 1)
+    extra["wan13b_e2e_projected_50step_s"] = round(wan13b_video_s, 1)
+    extra["wan13b_vs_baseline_note"] = (
+        "1.3B-vs-14B ratio is NOT like-for-like; headline uses the 14B projection")
 
-    steps, cfg_branches = 50, 2
-    projected_video_s = step_ms / 1e3 * steps * cfg_branches
-    baseline_video_s = 240.0
+    # 14B VACE edit projection on this one chip: 50 steps x 2 CFG branches x
+    # (40 trunk + 8 VACE blocks of the measured 14B dimension + embed/head),
+    # plus measured VAE (2 encodes for vace inactive/reactive + 1 decode) and
+    # 2 T5 encodes. LoRA is merged (zero runtime cost).
+    step_branch_s = ((40 + 8) * block_ms + overhead_ms) / 1e3
+    denoise_s = 50 * 2 * step_branch_s
+    video_s = denoise_s + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3
+    extra["ditto14b_projected_denoise_s_v5e"] = round(denoise_s, 1)
+
+    # v5p-8 target projection (BASELINE.md north-star hardware): 8 chips,
+    # v5p ~459 bf16 TF/s vs v5e ~197; sequence-parallel denoise scales the
+    # block time, VAE/T5 conservatively kept at single-chip v5e speed.
+    v5p_scale = (459.0 / 197.0) * 8.0
+    video_s_v5p8 = denoise_s / v5p_scale + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3
+    extra["ditto14b_projected_video_s_v5p8"] = round(video_s_v5p8, 1)
+    extra["baseline_note"] = (
+        "240 s = A6000 ComfyUI fp8+CausVid-distill path; ours is bf16 "
+        "full-quality 50-step CFG")
+
     result = {
-        "metric": "wan1.3b_dit_step_ms_480p81f",
-        "value": round(step_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(baseline_video_s / projected_video_s, 3),
-        "extra": {
-            "seq_tokens": 21 * 60 * 104 // 4,
-            "projected_50step_cfg_video_s": round(projected_video_s, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "metric": "ditto_vace14b_projected_video_s_1xv5e",
+        "value": round(video_s, 1),
+        "unit": "s",
+        "vs_baseline": round(240.0 / video_s, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 

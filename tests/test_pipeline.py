@@ -157,6 +157,25 @@ def test_sliding_window_denoise():
 
 
 @pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_sliding_window_keeps_vace_conditioning():
+    """Long-video VACE editing with sliding windows must stay conditioned:
+    the per-window forward slices vace_context (and y), so the result differs
+    from the unconditioned T2V denoise (regression for the round-1 bug where
+    sliding-window passed vace_context=None)."""
+    pipe = _tiny_pipe()
+    common = dict(num_frames=17, height=32, width=32, seed=1,
+                  num_inference_steps=2, cfg_scale=1.0, tiled=False,
+                  sliding_window_size=3, sliding_window_stride=2,
+                  return_latents=True)
+    lat_vace = pipe("stylize", vace_video=_frames(17), **common)
+    lat_plain = pipe("stylize", **common)
+    assert lat_vace.shape == lat_plain.shape
+    assert bool(jnp.isfinite(lat_vace.astype(jnp.float32)).all())
+    diff = float(jnp.abs(lat_vace - lat_plain).mean())
+    assert diff > 1e-4, f"sliding-window VACE output identical to T2V (diff={diff})"
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
 def test_ti2v_fused_first_frame_pinned():
     """fuse_vae_embedding_in_latents: the first-frame latent survives the
     denoise loop untouched (ImageEmbedderFused semantics)."""

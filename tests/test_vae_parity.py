@@ -7,6 +7,7 @@ identical (fp32) on a small config, including the temporal down/upsample
 first-frame special cases.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -116,3 +117,22 @@ def test_tiled_decode_multi_tile_blends():
     # interior where tiles fully overlap context (loose tolerance)
     full = np.asarray(vae_decode(params, jnp.asarray(z), cfg))
     assert np.abs(vid[..., 24:40, 24:40] - full[..., 24:40, 24:40]).mean() < 0.5
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_init_wan_vae_structure_matches_checkpoint():
+    """init_wan_vae (random init for benches/tests) produces exactly the
+    pytree structure of a converted reference checkpoint."""
+    import jax.tree_util as jtu
+    import video_styler_tpu.models.wan_vae as V
+    p = V.init_wan_vae(jax.random.PRNGKey(0), V.WAN_VAE_TINY)
+    import torch
+    ref = load_ref("models.wan_video_vae")
+    torch.manual_seed(0)
+    model = ref.VideoVAE_(dim=16, z_dim=4, dim_mult=[1, 2, 4, 4],
+                          num_res_blocks=1, attn_scales=[],
+                          temperal_downsample=[False, True, True]).eval()
+    want = V.convert_wan_vae(model.state_dict())
+    ka = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(p)}
+    kb = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(want)}
+    assert ka == kb

@@ -193,3 +193,30 @@ def convert_simple_adapter(sd, dtype=jnp.bfloat16):
             _, idx, name, leaf = k.split(".")
             out["residual_blocks"].setdefault(idx, {}).setdefault(name, {})[leaf] = v
     return out
+
+
+def process_camera_coordinates(direction: str, length: int, height: int,
+                               width: int, speed: float = 1 / 54,
+                               origin=None) -> np.ndarray:
+    """direction string -> Plücker embedding (length, H, W, 6)
+    (SimpleAdapter.process_camera_coordinates, wan_video_camera_controller.py:46-58)."""
+    if origin is None:
+        origin = (0, 0.532139961, 0.946026558, 0.5, 0.5, 0,
+                  0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+    coordinates = generate_camera_coordinates(direction, length, speed, origin)
+    return process_pose_file(coordinates, width, height)
+
+
+def pack_camera_latents(plucker: np.ndarray, num_frames: int) -> np.ndarray:
+    """Plücker (V, H, W, 6) -> (1, 24, (F+3)//4, H, W) temporally-packed
+    control_camera_latents_input (WanVideoUnit_FunCameraControl,
+    wan_video_new.py:812-823): first frame repeated 4x, then groups of 4
+    frames stacked onto channels."""
+    video = plucker[:num_frames].transpose(3, 0, 1, 2)[None]     # (1, 6, F, H, W)
+    video = np.concatenate([np.repeat(video[:, :, 0:1], 4, axis=2),
+                            video[:, :, 1:]], axis=2)            # (1, 6, F+3, H, W)
+    b, c, f, h, w = video.shape
+    lat = video.transpose(0, 2, 1, 3, 4)                         # (1, F+3, 6, H, W)
+    lat = lat.reshape(b, f // 4, 4, c, h, w).transpose(0, 1, 3, 2, 4, 5)
+    lat = lat.reshape(b, f // 4, c * 4, h, w).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(lat)                             # (1, 24, F//4, H, W)

@@ -688,3 +688,120 @@ def convert_wan_vae(sd: Dict, dtype=jnp.float32):
             val = val.detach().to_dense().float().cpu().numpy()
         node[parts[-1]] = jnp.asarray(_np.asarray(val), dtype)
     return root
+
+
+# --------------------------------------------------------------------------
+# Random init (same pytree structure as convert_wan_vae output) — used by
+# benchmarks and tests that need a full-size VAE without a checkpoint.
+# Channel wiring mirrors Encoder3d/Decoder3d/Resample construction
+# (wan_video_vae.py:82-117, 510-558, 736-783).
+# --------------------------------------------------------------------------
+
+def _init_conv(key, out_ch, in_ch, k, dtype=jnp.float32):
+    """k: (kt, kh, kw) or int."""
+    if isinstance(k, int):
+        k = (k, k, k)
+    fan_in = in_ch * int(np.prod(k))
+    w = jax.random.normal(key, (out_ch, in_ch) + tuple(k)) / np.sqrt(fan_in)
+    return {"weight": w.astype(dtype), "bias": jnp.zeros((out_ch,), dtype)}
+
+
+def _init_conv2d(key, out_ch, in_ch, k, dtype=jnp.float32):
+    fan_in = in_ch * k * k
+    w = jax.random.normal(key, (out_ch, in_ch, k, k)) / np.sqrt(fan_in)
+    return {"weight": w.astype(dtype), "bias": jnp.zeros((out_ch,), dtype)}
+
+
+def _init_rms(dim, dtype=jnp.float32):
+    return {"gamma": jnp.ones((dim, 1, 1, 1), dtype)}
+
+
+def _init_res_block(key, in_ch, out_ch, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    p = {"residual": {
+        "0": _init_rms(in_ch, dtype),
+        "2": _init_conv(ks[0], out_ch, in_ch, 3, dtype),
+        "3": _init_rms(out_ch, dtype),
+        "6": _init_conv(ks[1], out_ch, out_ch, 3, dtype),
+    }}
+    if in_ch != out_ch:
+        p["shortcut"] = _init_conv(ks[2], out_ch, in_ch, 1, dtype)
+    return p
+
+
+def _init_attn_block(key, ch, dtype=jnp.float32):
+    ks = jax.random.split(key, 2)
+    # AttentionBlock's RMS_norm uses images=True -> gamma (C, 1, 1)
+    return {"norm": {"gamma": jnp.ones((ch, 1, 1), dtype)},
+            "to_qkv": _init_conv2d(ks[0], 3 * ch, ch, 1, dtype),
+            "proj": _init_conv2d(ks[1], ch, ch, 1, dtype)}
+
+
+def _init_resample(key, ch, mode, dtype=jnp.float32):
+    ks = jax.random.split(key, 2)
+    if mode in ("downsample2d", "downsample3d"):
+        p = {"resample": {"1": _init_conv2d(ks[0], ch, ch, 3, dtype)}}
+        if mode == "downsample3d":
+            p["time_conv"] = _init_conv(ks[1], ch, ch, (3, 1, 1), dtype)
+    else:  # upsample2d / upsample3d
+        p = {"resample": {"1": _init_conv2d(ks[0], ch // 2, ch, 3, dtype)}}
+        if mode == "upsample3d":
+            p["time_conv"] = _init_conv(ks[1], ch * 2, ch, (3, 1, 1), dtype)
+    return p
+
+
+def init_wan_vae(key, cfg: WanVAEConfig = WAN21_VAE, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 256))
+
+    # encoder (Encoder3d, wan_video_vae.py:510-558): dims [1]+dim_mult
+    e_dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    enc = {"conv1": _init_conv(next(ks), e_dims[0], 3, 3, dtype),
+           "downsamples": {}, "middle": {}, "head": {}}
+    idx = 0
+    in_ch = e_dims[0]
+    for i in range(len(cfg.dim_mult)):
+        out_ch = e_dims[i + 1]
+        for _ in range(cfg.num_res_blocks):
+            enc["downsamples"][str(idx)] = _init_res_block(next(ks), in_ch, out_ch, dtype)
+            in_ch = out_ch
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            mode = "downsample3d" if cfg.temperal_downsample[i] else "downsample2d"
+            enc["downsamples"][str(idx)] = _init_resample(next(ks), out_ch, mode, dtype)
+            idx += 1
+    top = e_dims[-1]
+    enc["middle"] = {"0": _init_res_block(next(ks), top, top, dtype),
+                     "1": _init_attn_block(next(ks), top, dtype),
+                     "2": _init_res_block(next(ks), top, top, dtype)}
+    enc["head"] = {"0": _init_rms(top, dtype),
+                   "2": _init_conv(next(ks), cfg.z_dim * 2, top, 3, dtype)}
+
+    # decoder (Decoder3d, wan_video_vae.py:736-783):
+    # dims [last]+reversed(dim_mult); i>=1 halves in_dim (post-upsample)
+    d_dims = [cfg.dim * u for u in
+              (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    dec = {"conv1": _init_conv(next(ks), d_dims[0], cfg.z_dim, 3, dtype),
+           "middle": {"0": _init_res_block(next(ks), d_dims[0], d_dims[0], dtype),
+                      "1": _init_attn_block(next(ks), d_dims[0], dtype),
+                      "2": _init_res_block(next(ks), d_dims[0], d_dims[0], dtype)},
+           "upsamples": {}, "head": {}}
+    idx = 0
+    for i in range(len(cfg.dim_mult)):
+        in_ch, out_ch = d_dims[i], d_dims[i + 1]
+        if i >= 1:
+            in_ch //= 2
+        for _ in range(cfg.num_res_blocks + 1):
+            dec["upsamples"][str(idx)] = _init_res_block(next(ks), in_ch, out_ch, dtype)
+            in_ch = out_ch
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            mode = "upsample3d" if cfg.temperal_upsample[i] else "upsample2d"
+            dec["upsamples"][str(idx)] = _init_resample(next(ks), out_ch, mode, dtype)
+            idx += 1
+    dec["head"] = {"0": _init_rms(out_ch, dtype),
+                   "2": _init_conv(next(ks), 3, out_ch, 3, dtype)}
+
+    return {"encoder": enc,
+            "conv1": _init_conv(next(ks), cfg.z_dim * 2, cfg.z_dim * 2, 1, dtype),
+            "conv2": _init_conv(next(ks), cfg.z_dim, cfg.z_dim, 1, dtype),
+            "decoder": dec}

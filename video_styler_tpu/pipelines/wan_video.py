@@ -141,6 +141,7 @@ class WanVideoPipeline:
         self.image_encoder_params = None
         self.image_encoder_cfg = None
         self.animate_params = None
+        self.motion_controller_params = None
         self.s2v_params = None
         self.s2v_cfg = None
         self.sharding_ctx = None
@@ -188,6 +189,10 @@ class WanVideoPipeline:
         elif kind == "animate":
             from ..models.wan_animate import convert_wan_animate
             self.animate_params = convert_wan_animate(sd, dtype=self.dtype)
+        elif kind == "motion_controller":
+            from ..models.wan_controllers import convert_motion_controller
+            self.motion_controller_params = convert_motion_controller(
+                sd, dtype=self.dtype)
         elif kind == "s2v":
             from ..models.wan_s2v import WanS2VConfig, convert_wan_s2v
             self.s2v_cfg = WanS2VConfig()
@@ -266,10 +271,9 @@ class WanVideoPipeline:
         m = m.reshape(T, H // 8, 8, W // 8, 8).transpose(0, 2, 4, 1, 3)
         m = m.reshape(1, T, 64, H // 8, W // 8).transpose(0, 2, 1, 3, 4)
         t_lat = (T + 3) // 4
-        idx = np.minimum((np.arange(t_lat) * T) // t_lat, T - 1)
-        # nearest-exact over temporal axis (interpolate at :894)
-        scale = T / t_lat
-        idx = np.minimum(np.floor((np.arange(t_lat) + 0.5) * scale).astype(int), T - 1)
+        # nearest-exact temporal downsample (F.interpolate mode="nearest-exact"
+        # at wan_video_new.py:894): sample at bin centers (i + 0.5) * T / t_lat
+        idx = np.minimum(np.floor((np.arange(t_lat) + 0.5) * (T / t_lat)).astype(int), T - 1)
         mask_lat = jnp.asarray(m[:, :, idx], self.dtype)
 
         if vace_reference_image is not None:
@@ -322,16 +326,90 @@ class WanVideoPipeline:
             y = jnp.concatenate([jnp.asarray(msk, self.dtype)[None], lat], axis=1)
         return clip_feature, y
 
+    def build_fun_control(self, control_video, num_frames, height, width,
+                          clip_feature, y, tiled=True, tile_size=(30, 52),
+                          tile_stride=(15, 26)):
+        """WanVideoUnit_FunControl (wan_video_new.py:752-774): control-video
+        latents prepended onto the y channels; zero clip/y when absent."""
+        kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
+        z = self.vae_cfg.z_dim
+        up = self.vae_cfg.upsampling_factor
+        control_latents = self.encode_video(_preprocess_images(control_video), **kw)
+        y_dim = self.dit_cfg.in_dim - control_latents.shape[1] - z
+        t_lat = (num_frames - 1) // 4 + 1
+        if clip_feature is None or y is None:
+            clip_feature = jnp.zeros((1, 257, 1280), self.dtype)
+            y = jnp.zeros((1, y_dim, t_lat, height // up, width // up), self.dtype)
+        else:
+            y = y[:, -y_dim:]
+        return clip_feature, jnp.concatenate([control_latents, y], axis=1)
+
+    def build_fun_reference(self, reference_image, height, width):
+        """WanVideoUnit_FunReference (wan_video_new.py:777-795): one-frame VAE
+        latent (for ref_conv) + CLIP feature when an image encoder exists."""
+        ref_img = reference_image.resize((width, height))
+        reference_latents = self.encode_video(
+            _preprocess_images([ref_img]), tiled=False)
+        clip_feature = None
+        if (self.image_encoder_params is not None
+                and self.dit_cfg.require_clip_embedding):
+            from ..models.clip_vit import encode_image
+            clip_feature = encode_image(
+                self.image_encoder_params, _preprocess_images([ref_img])[:, :, 0],
+                self.image_encoder_cfg, dtype=self.dtype)
+        return reference_latents, clip_feature
+
+    def build_fun_camera_control(self, direction, speed, origin, input_image,
+                                 num_frames, height, width, latents_shape,
+                                 tiled=True, tile_size=(30, 52),
+                                 tile_stride=(15, 26)):
+        """WanVideoUnit_FunCameraControl (wan_video_new.py:799-845): packed
+        Plücker embedding for the DiT control adapter + first-frame y."""
+        from ..models.wan_controllers import (
+            process_camera_coordinates, pack_camera_latents)
+        kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
+        z = self.vae_cfg.z_dim
+        up = self.vae_cfg.upsampling_factor
+        plucker = process_camera_coordinates(direction, num_frames, height,
+                                             width, speed, origin)
+        control_camera = jnp.asarray(
+            pack_camera_latents(plucker, num_frames), self.dtype)
+        if input_image is None:
+            raise ValueError("camera control requires input_image")
+        cam_img = input_image.resize((width, height))
+        input_lat = self.encode_video(_preprocess_images([cam_img]), tiled=False)
+        y_cam = jnp.zeros(latents_shape, self.dtype)
+        y_cam = y_cam.at[:, :, :1].set(input_lat.astype(self.dtype))
+        if y_cam.shape[1] != self.dit_cfg.in_dim - z:
+            # InP-style y: [4-ch temporal mask | padded-clip latent] (:836-845)
+            vae_input = np.zeros((1, 3, num_frames, height, width), np.float32)
+            vae_input[:, :, 0] = _preprocess_images([cam_img])[:, :, 0]
+            lat = self.encode_video(vae_input, **kw)
+            msk = np.ones((1, num_frames, height // up, width // up), np.float32)
+            msk[:, 1:] = 0
+            msk = np.concatenate([np.repeat(msk[:, 0:1], 4, axis=1), msk[:, 1:]], axis=1)
+            msk = msk.reshape(1, msk.shape[1] // 4, 4, height // up, width // up)
+            msk = msk.transpose(0, 2, 1, 3, 4)[0]
+            y_cam = jnp.concatenate(
+                [jnp.asarray(msk, self.dtype)[None], lat], axis=1)
+        return control_camera, y_cam
+
     # ---------------- jitted model functions ----------------
 
     def _model_fns(self, which: str, use_vace: bool, rope_indices=None,
-                   use_image: bool = False, use_animate: bool = False):
+                   use_image: bool = False, use_animate: bool = False,
+                   use_motion: bool = False, use_camera: bool = False,
+                   use_ref: bool = False):
         """Build (full, skip, t_mod) jitted fns for a DiT expert.
 
         full: -> (velocity, trunk_residual); skip: replay cached residual
         (TeaCache update path, wan_video_new.py:1418-1419,1455-1456).
+        use_motion/use_camera/use_ref wire the SpeedControl / FunCameraControl
+        / FunReference conditioning of model_fn_wan_video
+        (wan_video_new.py:1355-1357,1373-1375,1385-1390,1464-1467).
         """
-        key = (which, use_vace, use_image, use_animate,
+        key = (which, use_vace, use_image, use_animate, use_motion, use_camera,
+               use_ref,
                None if rope_indices is None else tuple(np.asarray(rope_indices).tolist()))
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -339,10 +417,39 @@ class WanVideoPipeline:
         vcfg = self.vace_cfg
         ri = None if rope_indices is None else np.asarray(rope_indices)
 
+        def _assemble_tokens(params, latents, control_camera, reference_latents):
+            """patchify + camera-adapter add + reference-token prepend.
+
+            Shared by full and skip so the TeaCache residual lines up."""
+            tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
+                                           cfg.patch_size)
+            if use_camera:
+                from ..models.wan_controllers import simple_adapter_forward
+                cam = simple_adapter_forward(params["control_adapter"],
+                                             control_camera.astype(tokens.dtype))
+                cam = cam.transpose(0, 2, 3, 4, 1).reshape(
+                    cam.shape[0], -1, cam.shape[1])
+                tokens = tokens + cam
+            n_ref = 0
+            if use_ref:
+                # ref_conv on the single reference frame, tokens prepended as
+                # an extra leading RoPE frame (wan_video_new.py:1385-1390)
+                ref_tokens, _ = M.patchify(params["ref_conv"], reference_latents,
+                                           (1,) + tuple(cfg.patch_size[1:]))
+                tokens = jnp.concatenate([ref_tokens, tokens], axis=1)
+                n_ref = ref_tokens.shape[1]
+            return tokens, (f, h, w), n_ref
+
         def full(params, vace_params, latents, timestep, context,
                  vace_context, vace_scale, clip_feature=None, y=None,
-                 animate_params=None, pose_latents=None, face_values=None):
+                 animate_params=None, pose_latents=None, face_values=None,
+                 motion_params=None, motion_bucket_id=None,
+                 control_camera=None, reference_latents=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
+            if use_motion:
+                from ..models.wan_controllers import motion_controller_forward
+                mc = motion_controller_forward(motion_params, motion_bucket_id)
+                t_mod = t_mod + mc.reshape(mc.shape[0], 6, cfg.dim).astype(t_mod.dtype)
             ctx = M.text_embed(params, context)
             if use_image:
                 if y is not None and cfg.require_vae_embedding:
@@ -350,11 +457,12 @@ class WanVideoPipeline:
                 if clip_feature is not None and cfg.require_clip_embedding:
                     clip_emb = M.img_embed(params, clip_feature)
                     ctx = jnp.concatenate([clip_emb, ctx], axis=1)
-            tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
-                                           cfg.patch_size)
+            tokens, (f, h, w), n_ref = _assemble_tokens(
+                params, latents, control_camera, reference_latents)
             from ..parallel.context import constrain
             tokens = constrain(tokens, "dp", "sp", None)
-            cos, sin = assemble_freqs_grid(cfg.head_dim, f, h, w, ri)
+            cos, sin = assemble_freqs_grid(cfg.head_dim, f + (1 if use_ref else 0),
+                                           h, w, ri)
             hints = None
             if use_vace:
                 hints = vace_forward(vace_params, vcfg, tokens, vace_context,
@@ -386,17 +494,22 @@ class WanVideoPipeline:
                                   segment_callback=seg_cb)
             residual = tokens - tokens_pre
             out = M.head(params, cfg, tokens, t)
+            if n_ref:
+                out = out[:, n_ref:]   # drop reference tokens (:1464-1467)
             v = M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
             return v, t_mod, residual
 
-        def skip(params, latents, timestep, context, residual, y=None):
+        def skip(params, latents, timestep, context, residual, y=None,
+                 control_camera=None, reference_latents=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
             if use_image and y is not None and cfg.require_vae_embedding:
                 latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
-            tokens, (f, h, w) = M.patchify(params["patch_embedding"], latents,
-                                           cfg.patch_size)
+            tokens, (f, h, w), n_ref = _assemble_tokens(
+                params, latents, control_camera, reference_latents)
             tokens = tokens + residual
             out = M.head(params, cfg, tokens, t)
+            if n_ref:
+                out = out[:, n_ref:]
             return M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
 
         def t_mod_only(params, timestep):
@@ -410,26 +523,37 @@ class WanVideoPipeline:
     def _branch_forward(self, which, params, vace_params, latents, timestep,
                         context, vace_context, vace_scale, tea_cache,
                         rope_indices=None, clip_feature=None, y=None,
-                        animate_inputs=None):
+                        animate_inputs=None, motion_bucket_id=None,
+                        control_camera=None, reference_latents=None):
         use_vace = vace_context is not None
         use_image = clip_feature is not None or y is not None
         use_animate = animate_inputs is not None
+        use_motion = motion_bucket_id is not None
+        use_camera = control_camera is not None
+        use_ref = reference_latents is not None
+        if use_animate and (use_ref or use_camera):
+            raise ValueError("animate conditioning cannot combine with "
+                             "FunReference/FunCameraControl")
         full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices,
-                                                 use_image, use_animate)
+                                                 use_image, use_animate,
+                                                 use_motion, use_camera, use_ref)
         vs = jnp.asarray(vace_scale, jnp.float32)
         if tea_cache is not None:
             t_mod = t_mod_only(params, timestep)
             if tea_cache.check(t_mod) and tea_cache.previous_residual is not None:
                 return skip(params, latents, timestep, context,
-                            tea_cache.previous_residual, y)
+                            tea_cache.previous_residual, y,
+                            control_camera, reference_latents)
+        pose_latents = face_values = None
         if use_animate:
             pose_latents, face_values = animate_inputs
-            v, _, residual = full(params, vace_params, latents, timestep,
-                                  context, vace_context, vs, clip_feature, y,
-                                  self.animate_params, pose_latents, face_values)
-        else:
-            v, _, residual = full(params, vace_params, latents, timestep,
-                                  context, vace_context, vs, clip_feature, y)
+        v, _, residual = full(params, vace_params, latents, timestep,
+                              context, vace_context, vs, clip_feature, y,
+                              self.animate_params if use_animate else None,
+                              pose_latents, face_values,
+                              self.motion_controller_params if use_motion else None,
+                              motion_bucket_id, control_camera,
+                              reference_latents)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -438,17 +562,26 @@ class WanVideoPipeline:
                               timestep, ctx_posi, ctx_nega, vace_context,
                               vace_scale, cfg_scale, tc_posi, tc_nega,
                               cfg_merge=False, rope_indices=None,
-                              clip_feature=None, y=None, animate_inputs=None):
+                              clip_feature=None, y=None, animate_inputs=None,
+                              motion_bucket_id=None, control_camera=None,
+                              reference_latents=None):
         """One denoise velocity: CFG via merged batch or two passes."""
+        fun = dict(motion_bucket_id=motion_bucket_id,
+                   control_camera=control_camera,
+                   reference_latents=reference_latents)
         if cfg_scale == 1.0 or ctx_nega is None:
             return self._branch_forward(which, params, vace_params, latents,
                                         timestep, ctx_posi, vace_context,
                                         vace_scale, tc_posi,
                                         rope_indices=rope_indices,
                                         clip_feature=clip_feature, y=y,
-                                        animate_inputs=animate_inputs)
+                                        animate_inputs=animate_inputs, **fun)
         if cfg_merge:
-            # CfgMerger (wan_video_new.py:951-969): one batched forward
+            # CfgMerger (wan_video_new.py:951-969): one batched forward.
+            # The reference clears inputs_posi/nega in merged mode, dropping
+            # the per-branch TeaCaches — so no tea_cache here. Shared animate
+            # conditioning is duplicated onto the merged batch (the reference
+            # keeps pose_latents in inputs_shared and relies on broadcasting).
             ctx = jnp.concatenate([ctx_posi, ctx_nega], axis=0)
             lat2 = jnp.concatenate([latents, latents], axis=0)
             vc2 = None if vace_context is None else jnp.concatenate(
@@ -456,10 +589,17 @@ class WanVideoPipeline:
             cf2 = None if clip_feature is None else jnp.concatenate(
                 [clip_feature, clip_feature], axis=0)
             y2 = None if y is None else jnp.concatenate([y, y], axis=0)
+            ai2 = None if animate_inputs is None else tuple(
+                jnp.concatenate([a, a], axis=0) for a in animate_inputs)
+            fun2 = dict(fun)
+            if reference_latents is not None:
+                fun2["reference_latents"] = jnp.concatenate(
+                    [reference_latents, reference_latents], axis=0)
             v2 = self._branch_forward(which, params, vace_params, lat2,
-                                      timestep, ctx, vc2, vace_scale, tc_posi,
+                                      timestep, ctx, vc2, vace_scale, None,
                                       rope_indices=rope_indices,
-                                      clip_feature=cf2, y=y2)
+                                      clip_feature=cf2, y=y2,
+                                      animate_inputs=ai2, **fun2)
             v_posi, v_nega = v2[:1], v2[1:]
         else:
             v_posi = self._branch_forward(which, params, vace_params, latents,
@@ -467,13 +607,13 @@ class WanVideoPipeline:
                                           vace_scale, tc_posi,
                                           rope_indices=rope_indices,
                                           clip_feature=clip_feature, y=y,
-                                          animate_inputs=animate_inputs)
+                                          animate_inputs=animate_inputs, **fun)
             v_nega = self._branch_forward(which, params, vace_params, latents,
                                           timestep, ctx_nega, vace_context,
                                           vace_scale, tc_nega,
                                           rope_indices=rope_indices,
                                           clip_feature=clip_feature, y=y,
-                                          animate_inputs=animate_inputs)
+                                          animate_inputs=animate_inputs, **fun)
         return v_nega + cfg_scale * (v_posi - v_nega)
 
     @staticmethod
@@ -488,9 +628,16 @@ class WanVideoPipeline:
         return x
 
     def _sliding_window_velocity(self, window_size, window_stride, fwd_fn,
-                                 latents):
+                                 latents, y=None, vace_context=None):
         """Temporal sliding window with ramp blending
-        (TemporalTiler_BCTHW.run, wan_video_new.py:1229-1256)."""
+        (TemporalTiler_BCTHW.run, wan_video_new.py:1229-1256).
+
+        The reference tiles ``tensor_names=["latents", "y"]`` and forwards the
+        remaining model kwargs unchanged (wan_video_new.py:1291-1315). We also
+        slice ``vace_context`` per window (its temporal latent axis lines up
+        with the trunk latents), so long-video VACE editing stays conditioned
+        — forwarding it whole would mismatch the trunk token count.
+        """
         T = latents.shape[2]
         value = np.zeros(latents.shape, np.float32)
         weight = np.zeros((1, 1, T, 1, 1), np.float32)
@@ -498,7 +645,9 @@ class WanVideoPipeline:
             if t0 - window_stride >= 0 and t0 - window_stride + window_size >= T:
                 continue
             t1 = min(t0 + window_size, T)
-            v = np.asarray(fwd_fn(latents[:, :, t0:t1]), np.float32)
+            y_w = None if y is None else y[:, :, t0:t1]
+            vc_w = None if vace_context is None else vace_context[:, :, t0:t1]
+            v = np.asarray(fwd_fn(latents[:, :, t0:t1], y_w, vc_w), np.float32)
             mask = self._temporal_ramp(
                 t1 - t0, t0 == 0, t1 == T,
                 window_size - window_stride)[None, None, :, None, None]
@@ -581,6 +730,12 @@ class WanVideoPipeline:
         vace_scale: float = 1.0,
         animate_pose_video=None,
         animate_face_video=None,
+        control_video=None,
+        reference_image=None,
+        camera_control_direction: Optional[str] = None,
+        camera_control_speed: float = 1 / 54,
+        camera_control_origin=None,
+        motion_bucket_id: Optional[float] = None,
         seed: Optional[int] = None,
         height: int = 480,
         width: int = 832,
@@ -647,6 +802,28 @@ class WanVideoPipeline:
         clip_feature, y = self.build_image_conditioning(
             input_image, end_image, num_frames, height, width, **kw)
 
+        # FunControl / FunReference / FunCameraControl / SpeedControl units
+        if control_video is not None:
+            clip_feature, y = self.build_fun_control(
+                control_video, num_frames, height, width, clip_feature, y, **kw)
+        reference_latents = None
+        if reference_image is not None:
+            reference_latents, clip_ref = self.build_fun_reference(
+                reference_image, height, width)
+            if clip_ref is not None:
+                clip_feature = clip_ref
+        control_camera = None
+        if camera_control_direction is not None:
+            control_camera, y = self.build_fun_camera_control(
+                camera_control_direction, camera_control_speed,
+                camera_control_origin, input_image, num_frames, height, width,
+                latents.shape, **kw)
+        if motion_bucket_id is not None:
+            if self.motion_controller_params is None:
+                raise RuntimeError("motion_bucket_id given but no motion "
+                                   "controller attached")
+            motion_bucket_id = jnp.asarray([motion_bucket_id], jnp.float32)
+
         # TI2V-5B fused path (ImageEmbedderFused, wan_video_new.py:731-748):
         # first-frame latent written into the noise and pinned each step
         first_frame_latents = None
@@ -687,19 +864,28 @@ class WanVideoPipeline:
                 params, vace_params = self.dit2_params, self.vace2_params or self.vace_params
             timestep = jnp.asarray([t_host], jnp.float32)
             if sliding_window_size is not None and sliding_window_stride is not None:
-                def fwd(lat_slice):
+                # the reference's sliding kwargs forward reference_latents and
+                # motion_bucket_id but not camera control (:1291-1305)
+                def fwd(lat_slice, y_slice, vc_slice):
                     return self._forward_all_branches(
                         which, params, vace_params, lat_slice, timestep,
-                        ctx_posi, ctx_nega, None, vace_scale, cfg_scale,
-                        None, None, cfg_merge=cfg_merge)
+                        ctx_posi, ctx_nega, vc_slice, vace_scale, cfg_scale,
+                        None, None, cfg_merge=cfg_merge,
+                        clip_feature=clip_feature, y=y_slice,
+                        motion_bucket_id=motion_bucket_id,
+                        reference_latents=reference_latents)
                 v = self._sliding_window_velocity(
-                    sliding_window_size, sliding_window_stride, fwd, latents)
+                    sliding_window_size, sliding_window_stride, fwd, latents,
+                    y=y, vace_context=vace_context)
             else:
                 v = self._forward_all_branches(
                     which, params, vace_params, latents, timestep, ctx_posi,
                     ctx_nega, vace_context, vace_scale, cfg_scale, tc_posi,
                     tc_nega, cfg_merge=cfg_merge, clip_feature=clip_feature,
-                    y=y, animate_inputs=animate_inputs)
+                    y=y, animate_inputs=animate_inputs,
+                    motion_bucket_id=motion_bucket_id,
+                    control_camera=control_camera,
+                    reference_latents=reference_latents)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)

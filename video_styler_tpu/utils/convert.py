@@ -131,6 +131,13 @@ def convert_wan_dit(sd: Dict, cfg: WanDiTConfig, dtype=jnp.bfloat16):
         params["img_emb"] = img
     if cfg.has_ref_conv and "ref_conv.weight" in sd:
         params["ref_conv"] = _conv_as_lin(sd, "ref_conv", dtype)
+    if any(k.startswith("control_adapter.") for k in sd):
+        # Fun-Camera models carry a SimpleAdapter inside the DiT
+        # (wan_video_dit.py:334-335)
+        from ..models.wan_controllers import convert_simple_adapter
+        params["control_adapter"] = convert_simple_adapter(
+            {k[len("control_adapter."):]: v for k, v in sd.items()
+             if k.startswith("control_adapter.")}, dtype)
     return params
 
 
