@@ -57,8 +57,8 @@ def _resolve(params: Dict, path: str):
     i = 0
     while i < len(parts):
         p = parts[i]
-        if p in ("blocks", "vace_blocks"):
-            node = node["blocks"]
+        if p in ("blocks", "vace_blocks", "single_blocks"):
+            node = node["single_blocks" if p == "single_blocks" else "blocks"]
             idx = int(parts[i + 1])
             i += 2
             continue

@@ -36,8 +36,13 @@ class T5Config:
 
 
 UMT5_XXL = T5Config()
+# google/t5-v1_1-xxl — the SD3 text encoder 3 / FLUX text encoder 2
+# (sd3_text_encoder.py:40-83): one relative-bias table shared by all layers.
+T5_V11_XXL = T5Config(vocab=32128, shared_pos=True)
 T5_TINY = T5Config(vocab=128, dim=64, dim_attn=64, dim_ffn=128, num_heads=4,
                    num_layers=2, num_buckets=8)
+T5_V11_TINY = T5Config(vocab=128, dim=64, dim_attn=64, dim_ffn=128,
+                       num_heads=4, num_layers=2, shared_pos=True)
 
 
 @lru_cache(maxsize=16)
@@ -96,11 +101,15 @@ def t5_ffn(p, x):
     return linear(p["fc2"], linear(p["fc1"], x) * t5_gelu(linear(p["gate"], x)))
 
 
-def t5_block(p, x, mask, cfg: T5Config):
-    pos_bias = jnp.take(p["pos_emb"], jnp.asarray(
-        relative_position_buckets(x.shape[1], x.shape[1], cfg.num_buckets)),
-        axis=0)                                           # (lq, lk, heads)
-    pos_bias = pos_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+def _pos_bias_from_table(table, length, num_buckets):
+    bias = jnp.take(table, jnp.asarray(
+        relative_position_buckets(length, length, num_buckets)), axis=0)
+    return bias.transpose(2, 0, 1)[None].astype(jnp.float32)  # (1, H, lq, lk)
+
+
+def t5_block(p, x, mask, cfg: T5Config, pos_bias=None):
+    if pos_bias is None:
+        pos_bias = _pos_bias_from_table(p["pos_emb"], x.shape[1], cfg.num_buckets)
     x = x + t5_attention(p["attn"], t5_layer_norm(p["norm1"], x), pos_bias,
                          mask, cfg.num_heads)
     x = x + t5_ffn(p["ffn"], t5_layer_norm(p["norm2"], x))
@@ -111,10 +120,17 @@ def t5_encode(params, cfg: T5Config, ids, mask=None):
     """ids (B, L) int32 -> embeddings (B, L, dim).
 
     Matches WanTextEncoder.forward (:245-254); dropout is inference-off.
+    With cfg.shared_pos (T5 v1.1 / HF T5EncoderModel) the layer-0 bias table
+    is reused by every layer.
     """
     x = jnp.take(params["token_embedding"], ids, axis=0)
+    shared_bias = None
+    if cfg.shared_pos:
+        shared_bias = _pos_bias_from_table(params["blocks"]["0"]["pos_emb"],
+                                           x.shape[1], cfg.num_buckets)
     for i in range(cfg.num_layers):
-        x = t5_block(params["blocks"][str(i)], x, mask, cfg)
+        x = t5_block(params["blocks"][str(i)], x, mask, cfg,
+                     pos_bias=shared_bias)
     return t5_layer_norm(params["norm"], x)
 
 
@@ -137,10 +153,12 @@ def init_t5(key, cfg: T5Config, dtype=jnp.float32):
                 "fc1": init_linear(kb[5], cfg.dim, cfg.dim_ffn, bias=False, dtype=dtype),
                 "fc2": init_linear(kb[6], cfg.dim_ffn, cfg.dim, bias=False, dtype=dtype),
             },
-            "pos_emb": (jax.random.normal(kb[7], (cfg.num_buckets, cfg.num_heads),
-                                          jnp.float32)
-                        * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5).astype(dtype),
         }
+        if not cfg.shared_pos or i == 0:
+            blocks[str(i)]["pos_emb"] = (
+                jax.random.normal(kb[7], (cfg.num_buckets, cfg.num_heads),
+                                  jnp.float32)
+                * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5).astype(dtype)
     return {
         "token_embedding": (jax.random.normal(ks[-2], (cfg.vocab, cfg.dim),
                                               jnp.float32)).astype(dtype),
@@ -175,4 +193,41 @@ def convert_t5(sd, cfg: T5Config, dtype=jnp.bfloat16):
         "token_embedding": _j(sd["token_embedding.weight"], dtype),
         "blocks": blocks,
         "norm": {"scale": _j(sd["norm.weight"], dtype)},
+    }
+
+
+def convert_hf_t5(sd, cfg: T5Config, dtype=jnp.bfloat16):
+    """HF transformers T5EncoderModel state dict (the SD3/FLUX T5 checkpoints,
+    sd3_text_encoder.py:40-83) -> pytree. Layer 0 carries the shared
+    relative-bias table."""
+    from ..utils.convert import _j
+
+    def lin_t(prefix):
+        return {"w": _j(sd[prefix + ".weight"], dtype).T}
+
+    blocks = {}
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}"
+        blocks[str(i)] = {
+            "norm1": {"scale": _j(sd[f"{pre}.layer.0.layer_norm.weight"], dtype)},
+            "norm2": {"scale": _j(sd[f"{pre}.layer.1.layer_norm.weight"], dtype)},
+            "attn": {
+                "q": lin_t(f"{pre}.layer.0.SelfAttention.q"),
+                "k": lin_t(f"{pre}.layer.0.SelfAttention.k"),
+                "v": lin_t(f"{pre}.layer.0.SelfAttention.v"),
+                "o": lin_t(f"{pre}.layer.0.SelfAttention.o"),
+            },
+            "ffn": {
+                "gate": lin_t(f"{pre}.layer.1.DenseReluDense.wi_0"),
+                "fc1": lin_t(f"{pre}.layer.1.DenseReluDense.wi_1"),
+                "fc2": lin_t(f"{pre}.layer.1.DenseReluDense.wo"),
+            },
+        }
+        key = f"{pre}.layer.0.SelfAttention.relative_attention_bias.weight"
+        if key in sd:
+            blocks[str(i)]["pos_emb"] = _j(sd[key], dtype)
+    return {
+        "token_embedding": _j(sd["shared.weight"], dtype),
+        "blocks": blocks,
+        "norm": {"scale": _j(sd["encoder.final_layer_norm.weight"], dtype)},
     }

@@ -3,3 +3,4 @@ from .wan_video_editor import WanVideoEditorPipeline
 from .wan_enhancer import WanEnhancerPipeline
 from .sd_image import SDImagePipeline
 from .sdxl_image import SDXLImagePipeline
+from .flux_image import FluxImagePipeline

@@ -1,0 +1,301 @@
+"""FluxImagePipeline: text/image/Kontext -> image, TPU-native.
+
+Re-design of the reference FluxImagePipeline
+(/root/reference/diffsynth/pipelines/flux_image_new.py:80-556): the core
+units (ShapeChecker, NoiseInitializer, PromptEmbedder, InputImageEmbedder,
+ImageIDs, EmbeddedGuidanceEmbedder, Kontext, TeaCache) become pure
+preprocessing steps; the denoise loop drives one jitted DiT forward per CFG
+branch with embedded-guidance distilled sampling (guidance goes through the
+DiT's guidance embedder; cfg_scale=1 single-pass is the distilled default).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import flux_dit as F
+from ..models.flux_dit import FluxDiTConfig, FLUX_DEV
+from ..models import sd3_vae as V
+from ..models.t5 import T5Config, T5_V11_XXL
+from ..schedulers import FlowMatchScheduler
+from ..prompters.flux_prompter import FluxPrompter
+from .wan_video import generate_noise
+
+
+class FluxTeaCache:
+    """FLUX TeaCache (flux_image_new.py:1065-1110): fixed poly(4) rescale of
+    the relative-L1 of the block-0 modulated input."""
+
+    COEFFS = [4.98651651e+02, -2.83781631e+02, 5.58554382e+01,
+              -3.82021401e+00, 2.64230861e-01]
+
+    def __init__(self, num_inference_steps: int, rel_l1_thresh: float):
+        self.num_inference_steps = num_inference_steps
+        self.rel_l1_thresh = rel_l1_thresh
+        self.step = 0
+        self.accumulated = 0.0
+        self.previous_modulated = None
+        self.previous_residual = None
+
+    def check(self, modulated) -> bool:
+        modulated = np.asarray(modulated, np.float32)
+        if self.step == 0 or self.step == self.num_inference_steps - 1:
+            should_calc = True
+            self.accumulated = 0.0
+        else:
+            rel = float(np.abs(modulated - self.previous_modulated).mean()
+                        / np.abs(self.previous_modulated).mean())
+            self.accumulated += float(np.polyval(self.COEFFS, rel))
+            if self.accumulated < self.rel_l1_thresh:
+                should_calc = False
+            else:
+                should_calc = True
+                self.accumulated = 0.0
+        self.previous_modulated = modulated
+        self.step = (self.step + 1) % self.num_inference_steps
+        return not should_calc
+
+    def store(self, residual):
+        self.previous_residual = residual
+
+
+class FluxImagePipeline:
+    """Public API mirrors the reference __call__ (flux_image_new.py:434-556)."""
+
+    def __init__(self, dtype=jnp.bfloat16):
+        self.dtype = dtype
+        self.scheduler = FlowMatchScheduler(shift=3.0)
+        self.prompter = FluxPrompter()
+        self.dit_params = None
+        self.dit_cfg: FluxDiTConfig = FLUX_DEV
+        self.vae_encoder_params = None
+        self.vae_decoder_params = None
+        self.vae_cfg = V.FLUX_VAE
+        self.clip_params = None
+        self.t5_params = None
+        self.t5_cfg: T5Config = T5_V11_XXL
+        self._jit_cache = {}
+
+    # ---------------- loading ----------------
+
+    @classmethod
+    def from_pretrained(cls, dit_path=None, vae_path=None, clip_path=None,
+                        t5_paths=None, tokenizer_1_path=None,
+                        tokenizer_2_path=None, dtype=jnp.bfloat16):
+        from ..utils import ckpt as C
+        pipe = cls(dtype=dtype)
+        if dit_path:
+            sd = C.load_state_dict(dit_path)
+            cfg = FLUX_DEV
+            if not any("guidance" in k for k in sd):
+                from ..models.flux_dit import FLUX_SCHNELL
+                cfg = FLUX_SCHNELL
+            pipe.dit_cfg = cfg
+            pipe.dit_params = F.convert_flux_dit(sd, cfg, dtype=dtype)
+        if vae_path:
+            sd = C.load_state_dict(vae_path)
+            pipe.vae_encoder_params = V.convert_sd3_vae(
+                {k: v for k, v in sd.items() if not k.startswith("decoder")})
+            pipe.vae_decoder_params = V.convert_sd3_vae(
+                {k: v for k, v in sd.items() if not k.startswith("encoder")})
+        if clip_path:
+            from ..models.sd3_text_encoder import convert_sd3_text_encoder_1
+            pipe.clip_params = convert_sd3_text_encoder_1(
+                C.load_state_dict(clip_path), dtype=dtype)
+        if t5_paths:
+            from ..models.t5 import convert_hf_t5
+            pipe.t5_params = convert_hf_t5(
+                C.load_state_dict_files(t5_paths if isinstance(t5_paths, list)
+                                        else [t5_paths]),
+                pipe.t5_cfg, dtype=dtype)
+        pipe.prompter.fetch_tokenizers(tokenizer_1_path, tokenizer_2_path)
+        pipe.prompter.fetch_models(pipe.clip_params, pipe.t5_params, pipe.t5_cfg)
+        return pipe
+
+    def load_lora(self, path=None, state_dict=None, alpha: float = 1.0):
+        """Merge a FLUX LoRA into the DiT weights (any public key layout;
+        lora/flux_lora.py handles the format conversion)."""
+        from ..flux_lora import convert_flux_lora
+        from ..lora import merge_lora
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        sd = convert_flux_lora(sd)
+        self.dit_params = merge_lora(self.dit_params, sd, alpha=alpha)
+        self._jit_cache.clear()
+
+    # ---------------- helpers ----------------
+
+    def check_resize(self, height, width):
+        div = 16
+        return ((height + div - 1) // div * div,
+                (width + div - 1) // div * div)
+
+    def encode_prompt(self, prompt, t5_sequence_length=512):
+        return self.prompter.encode_prompt(prompt, t5_sequence_length,
+                                           dtype=self.dtype)
+
+    def encode_image(self, image_np):
+        z = V.sd3_vae_encoder_forward(
+            self.vae_encoder_params, jnp.asarray(image_np, jnp.float32),
+            self.vae_cfg)
+        return z.astype(self.dtype)
+
+    def decode_image(self, latents):
+        return V.sd3_vae_decoder_forward(
+            self.vae_decoder_params, jnp.asarray(latents, jnp.float32),
+            self.vae_cfg)
+
+    def _model_fns(self, kontext_ids=None):
+        """kontext_ids (host numpy) are closed over — they feed the host-side
+        RoPE table build, so they must not be traced."""
+        key = ("flux", None if kontext_ids is None
+               else kontext_ids.tobytes())
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.dit_cfg
+        ki = None if kontext_ids is None else np.asarray(kontext_ids)
+
+        def full(params, latents, timestep, prompt_emb, pooled, guidance,
+                 kontext_latents=None):
+            x, ctx, temb, cos, sin, n_img = F.flux_embed(
+                params, cfg, latents, timestep, prompt_emb, pooled, guidance,
+                kontext_latents=kontext_latents, kontext_ids=ki)
+            modulated = F.flux_modulated_input(params, cfg, x, temb)
+            h = F.flux_trunk(params, cfg, x, ctx, temb, cos, sin)
+            residual = h - x
+            height, width = latents.shape[-2:]
+            v = F.flux_head(params, cfg, h[:, :n_img], temb, height, width)
+            return v, residual, modulated
+
+        def skip(params, latents, timestep, prompt_emb, pooled, guidance,
+                 residual, kontext_latents=None):
+            x, ctx, temb, cos, sin, n_img = F.flux_embed(
+                params, cfg, latents, timestep, prompt_emb, pooled, guidance,
+                kontext_latents=kontext_latents, kontext_ids=ki)
+            h = x + residual
+            height, width = latents.shape[-2:]
+            return F.flux_head(params, cfg, h[:, :n_img], temb, height, width)
+
+        def modulated_only(params, latents, timestep, prompt_emb, pooled,
+                           guidance, kontext_latents=None):
+            x, _, temb, _, _, _ = F.flux_embed(
+                params, cfg, latents, timestep, prompt_emb, pooled, guidance,
+                kontext_latents=kontext_latents, kontext_ids=ki)
+            return F.flux_modulated_input(params, cfg, x, temb)
+
+        fns = (jax.jit(full), jax.jit(skip), jax.jit(modulated_only))
+        self._jit_cache[key] = fns
+        return fns
+
+    def _branch(self, latents, timestep, prompt_emb, pooled, guidance,
+                kontext, tea_cache):
+        kl, ki = (kontext if kontext is not None else (None, None))
+        full, skip, modulated_only = self._model_fns(ki)
+        args = (self.dit_params, latents, timestep, prompt_emb, pooled,
+                guidance)
+        if tea_cache is not None:
+            mod = modulated_only(*args, kl)
+            if tea_cache.check(mod) and tea_cache.previous_residual is not None:
+                return skip(*args, tea_cache.previous_residual, kl)
+        v, residual, _ = full(*args, kl)
+        if tea_cache is not None:
+            tea_cache.store(residual)
+        return v
+
+    # ---------------- main call ----------------
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg_scale: float = 1.0,
+        embedded_guidance: float = 3.5,
+        t5_sequence_length: int = 512,
+        input_image=None,
+        denoising_strength: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        seed: Optional[int] = None,
+        sigma_shift: Optional[float] = None,
+        num_inference_steps: int = 30,
+        kontext_images=None,
+        tea_cache_l1_thresh: Optional[float] = None,
+        progress_bar_cmd=None,
+        return_latents: bool = False,
+    ):
+        from .wan_video import _preprocess_images
+        height, width = self.check_resize(height, width)
+        self.scheduler.set_timesteps(num_inference_steps,
+                                     denoising_strength=denoising_strength,
+                                     shift=sigma_shift)
+
+        noise = jnp.asarray(generate_noise(
+            (1, 16, height // 8, width // 8), seed=seed), self.dtype)
+        if input_image is not None:
+            img = _preprocess_images([input_image.resize((width, height))])[:, :, 0]
+            input_latents = self.encode_image(img)
+            latents = jnp.asarray(self.scheduler.add_noise(
+                np.asarray(input_latents, np.float32),
+                np.asarray(noise, np.float32),
+                self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = noise
+
+        prompt_emb, pooled, _ = self.encode_prompt(prompt, t5_sequence_length)
+        nega = None
+        if cfg_scale != 1.0:
+            nega = self.encode_prompt(negative_prompt, t5_sequence_length)
+
+        guidance = jnp.asarray([embedded_guidance], jnp.float32)
+
+        # Kontext reference images (FluxImageUnit_Kontext, :639-668)
+        kontext = None
+        if kontext_images is not None:
+            if not isinstance(kontext_images, list):
+                kontext_images = [kontext_images]
+            k_lats, k_ids = [], []
+            for im in kontext_images:
+                w0 = im.width // 16 * 16
+                h0 = im.height // 16 * 16
+                arr = _preprocess_images([im.resize((w0, h0))])[:, :, 0]
+                z = self.encode_image(arr)
+                k_ids.append(F.prepare_image_ids(1, z.shape[2] // 2,
+                                                 z.shape[3] // 2))
+                k_lats.append(F.patchify(z))
+            kontext = (jnp.concatenate(k_lats, axis=1),
+                       np.concatenate(k_ids, axis=0))
+
+        tea_cache = None
+        if tea_cache_l1_thresh is not None:
+            tea_cache = FluxTeaCache(num_inference_steps, tea_cache_l1_thresh)
+
+        steps = range(len(self.scheduler.timesteps))
+        if progress_bar_cmd is not None:
+            steps = progress_bar_cmd(steps)
+        for i in steps:
+            t_host = float(self.scheduler.timesteps[i])
+            timestep = jnp.asarray([t_host], jnp.float32)
+            v = self._branch(latents, timestep, prompt_emb, pooled, guidance,
+                             kontext, tea_cache)
+            if cfg_scale != 1.0:
+                v_nega = self._branch(latents, timestep, nega[0], nega[1],
+                                      guidance, kontext, None)
+                v = v_nega + cfg_scale * (v - v_nega)
+            sigma, sigma_next = self.scheduler.sigma_pair(i)
+            latents = (latents.astype(jnp.float32)
+                       + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+
+        if return_latents:
+            return latents
+        image = self.decode_image(latents)
+        return self.vae_output_to_image(image)
+
+    @staticmethod
+    def vae_output_to_image(image):
+        from PIL import Image
+        arr = np.asarray(image[0], np.float32).transpose(1, 2, 0)
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        return Image.fromarray(arr)
