@@ -23,7 +23,12 @@ projection are spelled out in `extra`.
 """
 import gc
 import json
+import sys
 import time
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def _sync(x):
@@ -173,18 +178,26 @@ def main():
     extra = {"device": device}
 
     seq = 19 * 30 * 52  # 29,640 tokens (73f 480x832 after (1,2,2) patchify)
+    _log("stage 1/4: 14B-dim DiT block")
     block_ms, overhead_ms, meas4_ms = bench_dit_block_14b(seq)
+    _log(f"block_ms={block_ms:.1f}")
     extra["dit14b_block_ms"] = round(block_ms, 2)
     extra["dit14b_embed_head_overhead_ms"] = round(overhead_ms, 2)
 
+    _log("stage 2/4: umT5-xxl encode")
     t5_ms = bench_t5()
+    _log(f"t5_ms={t5_ms:.1f}")
     extra["umt5xxl_encode_ms"] = round(t5_ms, 1)
 
+    _log("stage 3/4: VAE tiled encode/decode 480p73f")
     vae_enc_ms, vae_dec_ms = bench_vae()
+    _log(f"vae enc={vae_enc_ms:.0f}ms dec={vae_dec_ms:.0f}ms")
     extra["vae_tiled_encode_ms_480p73f"] = round(vae_enc_ms, 1)
     extra["vae_tiled_decode_ms_480p73f"] = round(vae_dec_ms, 1)
 
+    _log("stage 4/4: 1.3B VACE e2e smoke")
     e2e_2step_s, e2e_4step_s = bench_e2e_smoke()
+    _log(f"e2e 2-step={e2e_2step_s:.0f}s 4-step={e2e_4step_s:.0f}s")
     step_pair_s = max((e2e_4step_s - e2e_2step_s) / 2, 1e-6)
     wan13b_video_s = e2e_2step_s + 48 * step_pair_s  # scale 2 -> 50 steps
     extra["wan13b_e2e_measured_2step_s"] = round(e2e_2step_s, 1)

@@ -4,3 +4,4 @@ from .wan_enhancer import WanEnhancerPipeline
 from .sd_image import SDImagePipeline
 from .sdxl_image import SDXLImagePipeline
 from .flux_image import FluxImagePipeline
+from .sd3_image import SD3ImagePipeline
