@@ -5,3 +5,4 @@ from .sd_image import SDImagePipeline
 from .sdxl_image import SDXLImagePipeline
 from .flux_image import FluxImagePipeline
 from .sd3_image import SD3ImagePipeline
+from .hunyuan_video import HunyuanVideoPipeline
