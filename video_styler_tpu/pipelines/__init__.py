@@ -6,3 +6,4 @@ from .sdxl_image import SDXLImagePipeline
 from .flux_image import FluxImagePipeline
 from .sd3_image import SD3ImagePipeline
 from .hunyuan_video import HunyuanVideoPipeline
+from .svd_video import SVDVideoPipeline
