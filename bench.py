@@ -163,6 +163,15 @@ def bench_wan13b_step():
 
 def main():
     import jax
+    # persistent compilation cache: the expensive shape-specialized VAE/DiT
+    # graphs compile once per machine, not once per process
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     device = str(jax.devices()[0])
     extra = {"device": device}

@@ -51,8 +51,12 @@ def _silu(x):
     return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
 
 
-def attn(p, x, context=None, num_heads: int = 8, mask=None):
-    """Attention (attention.py:15-63): to_q/to_k/to_v/to_out, optional mask."""
+def attn(p, x, context=None, num_heads: int = 8, mask=None, ip_kv=None):
+    """Attention (attention.py:15-63): to_q/to_k/to_v/to_out, optional mask.
+
+    ip_kv = (ip_k, ip_v, scale) adds the IP-Adapter decoupled-attention term
+    scale * sdpa(q, ip_k, ip_v) before to_out (attention.py:55-56,
+    sd_ipadapter.py / interact_with_ipadapter)."""
     context = x if context is None else context
     b, s, _ = x.shape
     sk = context.shape[1]
@@ -61,8 +65,17 @@ def attn(p, x, context=None, num_heads: int = 8, mask=None):
     v = linear(p["to_v"], context)
     d = q.shape[-1] // num_heads
     bias = None if mask is None else mask[None, None].astype(jnp.float32)
-    out = sdpa(q.reshape(b, s, num_heads, d), k.reshape(b, sk, num_heads, d),
+    qh = q.reshape(b, s, num_heads, d)
+    out = sdpa(qh, k.reshape(b, sk, num_heads, d),
                v.reshape(b, sk, num_heads, d), bias=bias)
+    if ip_kv is not None:
+        ip_k, ip_v, scale = ip_kv
+        ip_k = jnp.broadcast_to(ip_k, (b,) + ip_k.shape[1:]).astype(q.dtype)
+        ip_v = jnp.broadcast_to(ip_v, (b,) + ip_v.shape[1:]).astype(q.dtype)
+        lk = ip_k.shape[1]
+        ip_out = sdpa(qh, ip_k.reshape(b, lk, num_heads, d),
+                      ip_v.reshape(b, lk, num_heads, d))
+        out = out + scale * ip_out
     return linear(p["to_out"], out.reshape(b, s, num_heads * d))
 
 
@@ -76,11 +89,12 @@ def timestep_embedding(timesteps, num_channels: int = 320):
 
 # ------------------------------------------------------------- UNet blocks
 
-def basic_transformer_block(p, x, text_emb, num_heads: int):
+def basic_transformer_block(p, x, text_emb, num_heads: int, ip_kv=None):
     h = layer_norm(p["norm1"], x, 1e-5)
     x = x + attn(p["attn1"], h, num_heads=num_heads)
     h = layer_norm(p["norm2"], x, 1e-5)
-    x = x + attn(p["attn2"], h, context=text_emb, num_heads=num_heads)
+    x = x + attn(p["attn2"], h, context=text_emb, num_heads=num_heads,
+                 ip_kv=ip_kv)
     h = layer_norm(p["norm3"], x, 1e-5)
     gg = linear(p["act_fn"]["proj"], h)
     a, gate = jnp.split(gg, 2, axis=-1)
@@ -103,8 +117,10 @@ def resnet_block(p, x, time_emb):
     return x + h
 
 
-def attention_block(p, x, text_emb, num_heads: int, eps: float = 1e-6):
-    """Spatial transformer (sd_unet.py:126-208)."""
+def attention_block(p, x, text_emb, num_heads: int, eps: float = 1e-6,
+                    ipadapter_kwargs=None):
+    """Spatial transformer (sd_unet.py:126-208). ipadapter_kwargs maps
+    transformer-layer index -> (ip_k, ip_v, scale)."""
     b, c, hh, ww = x.shape
     residual = x
     h = group_norm(p["norm"], x, eps=eps)
@@ -114,7 +130,9 @@ def attention_block(p, x, text_emb, num_heads: int, eps: float = 1e-6):
     if te.shape[0] != b:
         te = jnp.broadcast_to(te, (b,) + te.shape[1:])
     for i in sorted(p["transformer_blocks"], key=int):
-        h = basic_transformer_block(p["transformer_blocks"][i], h, te, num_heads)
+        ip_kv = None if ipadapter_kwargs is None else ipadapter_kwargs.get(int(i))
+        h = basic_transformer_block(p["transformer_blocks"][i], h, te,
+                                    num_heads, ip_kv=ip_kv)
     h = linear(p["proj_out"], h)
     h = h.reshape(b, hh, ww, c).transpose(0, 3, 1, 2)
     return h + residual
@@ -158,20 +176,28 @@ SD_UNET_PROGRAM: List[Tuple[str, int]] = (
 )
 
 
-def sd_unet_forward(params, sample, timestep, text_emb):
-    """SDUNet.forward (sd_unet.py:327-345). sample: (B, 4, H/8, W/8)."""
+def sd_unet_forward(params, sample, timestep, text_emb,
+                    controlnet_res_stack=None, ipadapter_kwargs_list=None,
+                    motion=None):
+    """SDUNet.forward (sd_unet.py:327-345) with the lets_dance hooks
+    (pipelines/dancer.py:7-114): ControlNet residuals added after block 30,
+    IP-Adapter kv pairs per attention block, AnimateDiff motion modules
+    after mapped blocks. sample: (B, 4, H/8, W/8)."""
     time_emb = timestep_embedding(timestep, 320).astype(sample.dtype)
     time_emb = linear(params["time_embedding"]["0"],
                       time_emb)
     time_emb = linear(params["time_embedding"]["2"], _silu(time_emb))
     h = conv2d(params["conv_in"], sample)
     res_stack = [h]
+    cn = None if controlnet_res_stack is None else list(controlnet_res_stack)
     for i, (kind, heads) in enumerate(SD_UNET_PROGRAM):
         p = params["blocks"].get(str(i), {})
         if kind == "res":
             h = resnet_block(p, h, time_emb)
         elif kind == "attn":
-            h = attention_block(p, h, text_emb, heads)
+            ip = None if ipadapter_kwargs_list is None \
+                else ipadapter_kwargs_list.get(i)
+            h = attention_block(p, h, text_emb, heads, ipadapter_kwargs=ip)
         elif kind == "push":
             res_stack.append(h)
         elif kind == "pop":
@@ -180,6 +206,12 @@ def sd_unet_forward(params, sample, timestep, text_emb):
             h = downsample(p, h)
         elif kind == "up":
             h = upsample(p, h)
+        if motion is not None and i in motion[1]:
+            from .motion import temporal_block
+            h = temporal_block(motion[0][str(motion[1][i])], h)
+        if cn is not None and i == 30:
+            h = h + cn.pop().astype(h.dtype)
+            res_stack = [r + a.astype(r.dtype) for r, a in zip(res_stack, cn)]
     h = group_norm(params["conv_norm_out"], h)
     h = _silu(h)
     return conv2d(params["conv_out"], h)

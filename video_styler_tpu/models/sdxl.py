@@ -34,8 +34,13 @@ SDXL_UNET_PROGRAM: List[Tuple[str, int]] = (
 
 
 def sdxl_unet_forward(params, sample, timestep, encoder_hidden_states,
-                      add_time_id, add_text_embeds):
-    """SDXLUNet.forward (sdxl_unet.py:88-136).
+                      add_time_id, add_text_embeds,
+                      controlnet_res_stack=None, ipadapter_kwargs_list=None,
+                      motion=None):
+    """SDXLUNet.forward (sdxl_unet.py:88-136) with the lets_dance_xl hooks
+    (pipelines/dancer.py:119-236): ControlNet residuals after block 22,
+    IP-Adapter kv per attention block, AnimateDiff motion after mapped
+    blocks.
 
     sample: (B, 4, H/8, W/8); add_time_id: (6,) original/crop/target sizes;
     add_text_embeds: (B, 1280) pooled TE2 embedding.
@@ -57,12 +62,15 @@ def sdxl_unet_forward(params, sample, timestep, encoder_hidden_states,
     if "text_intermediate_proj" in params:
         text_emb = linear(params["text_intermediate_proj"], text_emb)
     res_stack = [h]
+    cn = None if controlnet_res_stack is None else list(controlnet_res_stack)
     for i, (kind, heads) in enumerate(SDXL_UNET_PROGRAM):
         p = params["blocks"].get(str(i), {})
         if kind == "res":
             h = resnet_block(p, h, time_emb)
         elif kind == "attn":
-            h = attention_block(p, h, text_emb, heads)
+            ip = None if ipadapter_kwargs_list is None \
+                else ipadapter_kwargs_list.get(i)
+            h = attention_block(p, h, text_emb, heads, ipadapter_kwargs=ip)
         elif kind == "push":
             res_stack.append(h)
         elif kind == "pop":
@@ -71,6 +79,12 @@ def sdxl_unet_forward(params, sample, timestep, encoder_hidden_states,
             h = downsample(p, h)
         elif kind == "up":
             h = upsample(p, h)
+        if motion is not None and i in motion[1]:
+            from .motion import temporal_block
+            h = temporal_block(motion[0][str(motion[1][i])], h)
+        if cn is not None and i == 22:
+            h = h + cn.pop().astype(h.dtype)
+            res_stack = [r + a.astype(r.dtype) for r, a in zip(res_stack, cn)]
     h = group_norm(params["conv_norm_out"], h)
     h = _silu(h)
     return conv2d(params["conv_out"], h)

@@ -7,3 +7,4 @@ from .flux_image import FluxImagePipeline
 from .sd3_image import SD3ImagePipeline
 from .hunyuan_video import HunyuanVideoPipeline
 from .svd_video import SVDVideoPipeline
+from .sd_video import SDVideoPipeline

@@ -31,6 +31,7 @@ class SDImagePipeline:
         self.tokenizer = None
         self.num_text_layers = 12
         self._jit = {}
+        self.image_encoder_params = None
 
     @classmethod
     def from_state_dicts(cls, unet_sd=None, text_encoder_sd=None,
@@ -86,6 +87,12 @@ class SDImagePipeline:
         clip_skip: int = 1,
         input_image=None,
         denoising_strength: float = 1.0,
+        controlnet_image=None,
+        controlnet_units=None,
+        ipadapter_images=None,
+        ipadapter_params=None,
+        ipadapter_scale: float = 1.0,
+        ipadapter_image_embeds=None,
         height: int = 512,
         width: int = 512,
         num_inference_steps: int = 20,
@@ -112,9 +119,41 @@ class SDImagePipeline:
         ctx_nega = (self.encode_prompt(negative_prompt, clip_skip)
                     if cfg_scale != 1.0 else None)
 
+        # ControlNet conditioning (ControlNet units, sd_image.py:120-137 in
+        # the reference): annotate the control image per unit
+        conditionings = None
+        if controlnet_units and controlnet_image is not None:
+            from ..controlnets import MultiControlNetManager
+            self._cn_manager = MultiControlNetManager(controlnet_units)
+            conditionings = self._cn_manager.process_image(
+                controlnet_image, width, height)
+
+        # IP-Adapter (sd_image.py:139-147): precomputed image embeds or a
+        # CLIP-H image-encoder pass over ipadapter_images
+        ip_posi = ip_nega = None
+        if ipadapter_params is not None and (
+                ipadapter_images is not None or ipadapter_image_embeds is not None):
+            from ..models.ipadapter import ipadapter_kwargs
+            if ipadapter_image_embeds is None:
+                from ..models.svd import svd_image_encoder_forward
+                from ..models.clip_vit import preprocess_clip_image
+                from .wan_video import _preprocess_images
+                imgs = ipadapter_images if isinstance(ipadapter_images, list) \
+                    else [ipadapter_images]
+                arr = _preprocess_images([im.resize((224, 224)) for im in imgs])
+                pre = preprocess_clip_image(arr[:, :, 0], 224)
+                ipadapter_image_embeds = svd_image_encoder_forward(
+                    self.image_encoder_params, jnp.asarray(pre, self.dtype))
+            ip_posi = ipadapter_kwargs(ipadapter_params,
+                                       ipadapter_image_embeds,
+                                       scale=ipadapter_scale, xl=False)
+            ip_nega = ipadapter_kwargs(ipadapter_params,
+                                       jnp.zeros_like(ipadapter_image_embeds),
+                                       scale=ipadapter_scale, xl=False)
+
         if "unet" not in self._jit:
             self._jit["unet"] = jax.jit(SD.sd_unet_forward)
-        unet = self._jit["unet"]
+        unet = SD.sd_unet_forward  # hooks carry python structures; jit inside
 
         steps = range(len(self.scheduler.timesteps))
         if progress_bar_cmd is not None:
@@ -122,9 +161,16 @@ class SDImagePipeline:
         for i in steps:
             t = self.scheduler.timesteps[i]
             tj = jnp.asarray([t], jnp.float32)
-            eps_posi = unet(self.unet_params, latents, tj, ctx_posi)
+            cn_stack = None
+            if conditionings is not None:
+                cn_stack = self._cn_manager(latents, tj, ctx_posi, conditionings)
+            eps_posi = unet(self.unet_params, latents, tj, ctx_posi,
+                            controlnet_res_stack=cn_stack,
+                            ipadapter_kwargs_list=ip_posi)
             if cfg_scale != 1.0:
-                eps_nega = unet(self.unet_params, latents, tj, ctx_nega)
+                eps_nega = unet(self.unet_params, latents, tj, ctx_nega,
+                                controlnet_res_stack=cn_stack,
+                                ipadapter_kwargs_list=ip_nega)
                 eps = eps_nega + cfg_scale * (eps_posi - eps_nega)
             else:
                 eps = eps_posi

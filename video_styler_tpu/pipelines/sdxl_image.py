@@ -88,6 +88,11 @@ class SDXLImagePipeline:
         clip_skip: int = 1,
         input_image=None,
         denoising_strength: float = 1.0,
+        controlnet_image=None,
+        controlnet_units=None,
+        ipadapter_image_embeds=None,
+        ipadapter_params=None,
+        ipadapter_scale: float = 1.0,
         height: int = 1024,
         width: int = 1024,
         num_inference_steps: int = 20,
@@ -115,18 +120,43 @@ class SDXLImagePipeline:
         add_time_id = jnp.asarray([height, width, 0, 0, height, width],
                                   jnp.float32)
 
-        if "unet" not in self._jit:
-            self._jit["unet"] = jax.jit(XL.sdxl_unet_forward)
-        unet = self._jit["unet"]
+        # ControlNet + IP-Adapter wiring (lets_dance_xl hooks)
+        conditionings = None
+        cn_manager = None
+        if controlnet_units and controlnet_image is not None:
+            from ..controlnets import MultiControlNetManager
+            cn_manager = MultiControlNetManager(controlnet_units)
+            conditionings = cn_manager.process_image(controlnet_image,
+                                                     width, height)
+        ip_posi = ip_nega = None
+        if ipadapter_params is not None and ipadapter_image_embeds is not None:
+            from ..models.ipadapter import ipadapter_kwargs
+            ip_posi = ipadapter_kwargs(ipadapter_params,
+                                       ipadapter_image_embeds,
+                                       scale=ipadapter_scale, xl=True)
+            ip_nega = ipadapter_kwargs(ipadapter_params,
+                                       jnp.zeros_like(ipadapter_image_embeds),
+                                       scale=ipadapter_scale, xl=True)
+
+        unet = XL.sdxl_unet_forward
 
         for i in range(len(self.scheduler.timesteps)):
             t = self.scheduler.timesteps[i]
             tj = jnp.asarray([t], jnp.float32)
+            cn_stack = None
+            if conditionings is not None:
+                cn_stack = cn_manager(latents, tj, ctx_posi, conditionings,
+                                      add_time_id=add_time_id,
+                                      add_text_embeds=pooled_posi)
             eps_posi = unet(self.unet_params, latents, tj, ctx_posi,
-                            add_time_id, pooled_posi)
+                            add_time_id, pooled_posi,
+                            controlnet_res_stack=cn_stack,
+                            ipadapter_kwargs_list=ip_posi)
             if cfg_scale != 1.0:
                 eps_nega = unet(self.unet_params, latents, tj, ctx_nega,
-                                add_time_id, pooled_nega)
+                                add_time_id, pooled_nega,
+                                controlnet_res_stack=cn_stack,
+                                ipadapter_kwargs_list=ip_nega)
                 eps = eps_nega + cfg_scale * (eps_posi - eps_nega)
             else:
                 eps = eps_posi
