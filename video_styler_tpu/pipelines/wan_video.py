@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from functools import partial
 from typing import List, Optional, Tuple, Union
 
@@ -851,12 +852,15 @@ class WanVideoPipeline:
             tc_nega = TeaCache(num_inference_steps, tea_cache_l1_thresh, tea_cache_model_id)
 
         # Denoise loop (wan_video_new.py:515-542)
+        from ..utils.profiling import make_step_timer, annotate
+        timer = make_step_timer("wan_denoise_step")
         which = "dit"
         params, vace_params = self.dit_params, self.vace_params
         steps = range(len(self.scheduler.timesteps))
         if progress_bar_cmd is not None:
             steps = progress_bar_cmd(steps)
         for i in steps:
+            _t0 = time.perf_counter() if timer is not None else 0.0
             t_host = float(self.scheduler.timesteps[i])
             if (which == "dit" and self.dit2_params is not None
                     and t_host < switch_DiT_boundary * self.scheduler.num_train_timesteps):
@@ -891,7 +895,14 @@ class WanVideoPipeline:
                        + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
             if first_frame_latents is not None:
                 latents = latents.at[:, :, 0:1].set(first_frame_latents)
+            if timer is not None:
+                # force materialization so the step time is real (through
+                # the axon tunnel block_until_ready alone does not sync)
+                float(jnp.sum(latents[..., :1, :1, :1].astype(jnp.float32)))
+                timer.times.append(time.perf_counter() - _t0)
 
+        if timer is not None:
+            timer.report()
         if ref_count:
             latents = latents[:, :, ref_count:]
         if return_latents:
