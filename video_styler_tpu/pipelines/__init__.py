@@ -8,3 +8,4 @@ from .sd3_image import SD3ImagePipeline
 from .hunyuan_video import HunyuanVideoPipeline
 from .svd_video import SVDVideoPipeline
 from .sd_video import SDVideoPipeline
+from .qwen_image import QwenImagePipeline
