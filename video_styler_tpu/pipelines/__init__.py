@@ -9,3 +9,4 @@ from .hunyuan_video import HunyuanVideoPipeline
 from .svd_video import SVDVideoPipeline
 from .sd_video import SDVideoPipeline
 from .qwen_image import QwenImagePipeline
+from .cog_video import CogVideoPipeline
