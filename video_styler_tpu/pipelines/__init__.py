@@ -10,3 +10,4 @@ from .svd_video import SVDVideoPipeline
 from .sd_video import SDVideoPipeline
 from .qwen_image import QwenImagePipeline
 from .cog_video import CogVideoPipeline
+from .step_video import StepVideoPipeline
