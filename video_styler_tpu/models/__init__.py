@@ -9,3 +9,12 @@ from .wan_dit import (
     wan_dit_forward,
 )
 from .wan_vace import VaceConfig, VACE_14B, VACE_1_3B, VACE_TINY, init_vace, vace_forward
+from .wav2vec import (
+    Wav2Vec2Config,
+    WAV2VEC2_XLSR_53,
+    WAV2VEC2_TINY,
+    init_wav2vec,
+    convert_wav2vec,
+    wav2vec_forward,
+    get_audio_feats_per_inference,
+)

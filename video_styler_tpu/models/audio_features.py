@@ -1,11 +1,11 @@
 """Audio feature extraction for S2V.
 
 The reference vendors a wav2vec tower (diffsynth/models/wav2vec.py) and a
-Wav2Vec2Processor pipeline unit (wan_video_new.py WanVideoUnit_S2V). Here the
-tower is delegated to transformers' Wav2Vec2Model (same architecture, host
-CPU is fine — it's a one-shot preprocessing step); the output contract
-matches the S2V model's `audio_input`: all hidden states stacked per layer,
-resampled to one feature column per video frame.
+Wav2Vec2Processor pipeline unit (wan_video_new.py WanVideoUnit_S2V). The
+tower is now native (models/wav2vec.py here — JAX forward + host-side
+bucketing); this module is the checkpoint-loading front door. The output
+contract matches the S2V model's `audio_input`: all hidden states stacked
+per layer, resampled/bucketed to one feature column per video frame.
 """
 from __future__ import annotations
 
@@ -23,29 +23,30 @@ def extract_audio_features(
 ) -> np.ndarray:
     """audio (T_samples,) float waveform -> (1, num_layers, dim, num_frames).
 
-    Requires a local wav2vec2 checkpoint dir (`model_path`); the reference
-    downloads wav2vec2-large via ModelScope.
+    `model_path`: a wav2vec2 checkpoint file (safetensors/pt) or an HF-style
+    directory containing one; runs the native tower (models/wav2vec.py).
     """
-    import torch
-    from transformers import Wav2Vec2Model, Wav2Vec2Processor
+    import os
+    from ..utils import ckpt as K
+    from . import wav2vec as W
 
+    if sample_rate != 16000:
+        n_out = int(len(audio) * 16000 / sample_rate)
+        audio = np.interp(np.linspace(0, len(audio) - 1, n_out),
+                          np.arange(len(audio)), audio).astype(np.float32)
     if model_path is None:
-        raise ValueError("pass model_path to a local wav2vec2 checkpoint dir")
-    processor = Wav2Vec2Processor.from_pretrained(model_path)
-    model = Wav2Vec2Model.from_pretrained(model_path).eval()
-
-    inputs = processor(audio, sampling_rate=sample_rate, return_tensors="pt")
-    with torch.no_grad():
-        out = model(inputs.input_values, output_hidden_states=True)
-    # (num_layers, T_feat, dim)
-    feats = torch.stack(out.hidden_states, dim=0)[:, 0]
-    feats = feats.permute(0, 2, 1).numpy()          # (L, dim, T_feat)
-
-    # resample features to one column per video frame (nearest)
-    t_feat = feats.shape[-1]
-    idx = np.clip((np.arange(num_frames) + 0.5) * t_feat / num_frames,
-                  0, t_feat - 1).astype(int)
-    return feats[None, :, :, idx]
+        raise ValueError("pass model_path to a local wav2vec2 checkpoint")
+    if os.path.isdir(model_path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(model_path, name)
+            if os.path.exists(cand):
+                model_path = cand
+                break
+    params = W.convert_wav2vec(K.load_state_dict(model_path))
+    chunks = W.get_audio_feats_per_inference(
+        params, W.WAV2VEC2_XLSR_53, np.asarray(audio, np.float32),
+        fps=int(fps), batch_frames=num_frames, m=0)
+    return chunks[0]
 
 
 def load_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
