@@ -52,6 +52,13 @@ def parse_args():
     p.add_argument("--min_timestep_boundary", type=float, default=0.0)
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", type=str, default="train",
+                   choices=["train", "data_process"],
+                   help="data_process = offline latent-cache pass: run the "
+                        "encoders once, save npz samples to output_path")
+    p.add_argument("--cache_path", type=str, default=None,
+                   help="train from a latent cache produced by "
+                        "--task data_process (skips VAE/T5 encodes)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="resume full train state (lora+optimizer+step) from "
@@ -210,6 +217,28 @@ def main():
                      args.height // up, args.width // up), jnp.float32)
         return latents, context, vace_context
 
+    if args.task == "data_process":
+        from video_styler_tpu.trainers.latent_cache import launch_data_process_task
+
+        def preprocess_dict(row):
+            latents, context, vace_context = preprocess(row)
+            sample = {"latents": np.asarray(latents, np.float32),
+                      "context": np.asarray(context, np.float32)}
+            if vace_context is not None:
+                sample["vace_context"] = np.asarray(vace_context, np.float32)
+            return sample
+
+        written = launch_data_process_task(dataset, preprocess_dict,
+                                           args.output_path)
+        print(f"data process done: {len(written)} samples cached "
+              f"in {args.output_path}")
+        return
+
+    if args.cache_path:
+        from video_styler_tpu.trainers.latent_cache import CachedLatentDataset
+        dataset = CachedLatentDataset(args.cache_path,
+                                      repeat=args.dataset_repeat)
+
     from video_styler_tpu.trainers.checkpoint import (
         save_train_state, restore_train_state, latest_checkpoint)
     rng = jax.random.PRNGKey(args.seed)
@@ -228,7 +257,13 @@ def main():
     for epoch in range(args.num_epochs):
         for i in range(len(dataset)):
             row = dataset[i]
-            latents, context, vace_context = preprocess(row)
+            if getattr(dataset, "load_from_cache", False):
+                latents = jnp.asarray(row["latents"])
+                context = jnp.asarray(row["context"])
+                vace_context = (jnp.asarray(row["vace_context"])
+                                if "vace_context" in row else None)
+            else:
+                latents, context, vace_context = preprocess(row)
             rng, step_rng = jax.random.split(rng)
             loss, lora, opt_state = train_step(
                 lora, opt_state, pipe.dit_params, pipe.vace_params,
