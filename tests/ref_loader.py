@@ -75,4 +75,9 @@ def load_ref(modname: str):
         pass
     _fake_pkg("diffsynth.models", os.path.join(REF_ROOT, "diffsynth", "models"))
     _fake_pkg("diffsynth.schedulers", os.path.join(REF_ROOT, "diffsynth", "schedulers"))
+    # fake every intermediate package so heavy package __init__s are skipped
+    parts = modname.split(".")[:-1]
+    for i in range(len(parts)):
+        name = "diffsynth." + ".".join(parts[:i + 1])
+        _fake_pkg(name, os.path.join(REF_ROOT, "diffsynth", *parts[:i + 1]))
     return importlib.import_module(f"diffsynth.{modname}")

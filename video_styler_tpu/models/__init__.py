@@ -18,3 +18,22 @@ from .wav2vec import (
     wav2vec_forward,
     get_audio_feats_per_inference,
 )
+from .clip_dual import (
+    CLIPDualConfig,
+    CLIP_VIT_H_14_DUAL,
+    CLIP_DUAL_TINY,
+    init_clip_dual,
+    convert_hf_clip,
+    convert_open_clip,
+    convert_cross_model,
+    clip_image_features,
+    clip_text_features,
+    cross_model_forward,
+)
+from .blip_reward import (
+    BlipRewardConfig,
+    IMAGE_REWARD,
+    BLIP_REWARD_TINY,
+    convert_image_reward,
+    image_reward_forward,
+)
