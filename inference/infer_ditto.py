@@ -114,6 +114,10 @@ def main():
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,sp mesh sizes (e.g. 1,1,4)")
     p.add_argument("--no_tiled", action="store_true")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "fp8"],
+                   help="quantize DiT linears (the fp8-baseline analog; "
+                        "int8 runs the v5e MXU at 2x bf16 rate)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny random models, no checkpoints (env check)")
     args = p.parse_args()
@@ -127,6 +131,9 @@ def main():
         if not args.dit_path:
             p.error("--dit_path is required (or use --smoke)")
         pipe = build_pipeline(args)
+
+    if args.quantize:
+        pipe.quantize(mode=args.quantize)
 
     # input video -> VACE conditioning (the Ditto edit contract)
     vace_video = None

@@ -1,0 +1,102 @@
+"""Quantized linear path: accuracy, pytree rewrite, scan-stacked weights,
+full-DiT closeness (reference fp8 analog, vram_management/layers.py:115-151)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_styler_tpu.ops.basic import linear
+from video_styler_tpu.ops.quant import (linear_fp8, linear_int8,
+                                        quantize_params, quantized_fraction,
+                                        quantize_weight_int8)
+
+
+def _rel_err(a, b):
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+def test_int8_linear_accuracy():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 192)).astype(np.float32) * 0.05
+    b = rng.standard_normal(192).astype(np.float32) * 0.1
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    exact = x @ w + b
+    q, s = quantize_weight_int8(jnp.asarray(w))
+    got = np.asarray(linear_int8({"w_q": q, "w_scale": s,
+                                  "b": jnp.asarray(b)}, jnp.asarray(x)))
+    assert _rel_err(got, exact) < 0.02
+
+
+def test_fp8_linear_accuracy():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((256, 192)).astype(np.float32) * 0.05
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    exact = x @ w
+    from video_styler_tpu.ops.quant import quantize_weight_fp8
+    q, s = quantize_weight_fp8(jnp.asarray(w))
+    got = np.asarray(linear_fp8({"w_q": q, "w_scale": s}, jnp.asarray(x)))
+    assert _rel_err(got, exact) < 0.07
+
+
+def test_quantize_params_rewrite_and_dispatch():
+    rng = np.random.default_rng(2)
+    tree = {
+        "big": {"w": jnp.asarray(rng.standard_normal((256, 256)), jnp.float32),
+                "b": jnp.zeros(256)},
+        "small": {"w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)},
+        "conv": {"w": jnp.asarray(rng.standard_normal((256, 256, 3)),
+                                  jnp.float32)},
+        "norm": {"scale": jnp.ones(256)},
+    }
+    q = quantize_params(tree, min_size=0)
+    assert "w_q" in q["big"] and "w" not in q["big"]
+    assert "w" in q["small"] and "w" in q["conv"]       # guarded out
+    x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    exact = np.asarray(linear(tree["big"], x))
+    got = np.asarray(linear(q["big"], x))
+    assert _rel_err(got, exact) < 0.02
+    assert 0 < quantized_fraction(q) < 1
+
+
+def test_scan_stacked_quantization():
+    """(L, in, out) stacked weights quantize per layer and slice correctly
+    under lax.scan."""
+    rng = np.random.default_rng(3)
+    L = 3
+    tree = {"w": jnp.asarray(rng.standard_normal((L, 256, 256)) * 0.05,
+                             jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((L, 256)), jnp.float32)}
+    q = quantize_params({"blk": tree}, min_size=0)["blk"]
+    assert q["w_q"].shape == (L, 256, 256)
+    assert q["w_scale"].shape == (L, 1, 256)
+    x0 = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+
+    def step(x, p):
+        return linear(p, x), None
+
+    got, _ = jax.lax.scan(step, x0, q)
+    exact, _ = jax.lax.scan(step, x0, tree)
+    assert _rel_err(np.asarray(got), np.asarray(exact)) < 0.05
+
+
+def test_wan_dit_quantized_forward_close():
+    from video_styler_tpu.models.wan_dit import (WanDiTConfig, init_wan_dit,
+                                                 wan_dit_forward)
+    from dataclasses import replace
+    from video_styler_tpu.models import WAN_DIT_TINY
+    cfg = replace(WAN_DIT_TINY, dim=192, ffn_dim=256, num_heads=2)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qparams = quantize_params(params, min_size=0)
+    assert quantized_fraction(qparams) > 0.5
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 8)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 12, cfg.text_dim)), jnp.float32)
+    exact = np.asarray(wan_dit_forward(params, cfg, x, t, ctx), np.float32)
+    got = np.asarray(wan_dit_forward(qparams, cfg, x, t, ctx), np.float32)
+    # int8 round-trip noise accumulates over layers; require close correlation
+    denom = np.abs(exact).max()
+    assert np.abs(got - exact).max() / denom < 0.15
+    corr = np.corrcoef(got.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.995

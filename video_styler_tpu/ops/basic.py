@@ -42,7 +42,17 @@ def init_rms_norm(dim: int, dtype=jnp.float32):
 
 
 def linear(p, x):
-    """y = x @ w (+ b). Accumulates in fp32 on the MXU, returns x.dtype."""
+    """y = x @ w (+ b). Accumulates in fp32 on the MXU, returns x.dtype.
+
+    Dispatches to the quantized path when the leaf was rewritten by
+    ops.quant.quantize_params ("w_q" present): int8 runs the MXU at 2x the
+    bf16 rate — the TPU analog of the reference's fp8 `torch._scaled_mm`
+    (vram_management/layers.py:115-151)."""
+    if "w_q" in p:
+        from .quant import linear_fp8, linear_int8
+        if p["w_q"].dtype == jnp.int8:
+            return linear_int8(p, x)
+        return linear_fp8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)

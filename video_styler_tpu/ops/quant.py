@@ -1,0 +1,140 @@
+"""Quantized linear path — the TPU answer to the reference fp8 matmul.
+
+The reference runs its 4-minute baseline with fp8 weights and per-row
+dynamically scaled `torch._scaled_mm`
+(/root/reference/diffsynth/vram_management/layers.py:115-151). On TPU the
+like-for-like trick is int8: the v5e MXU runs int8 x int8 -> int32 at 2x the
+bf16 FLOP rate (394 vs 197 TOPS), and XLA lowers `lax.dot_general` on int8
+operands to it directly. fp8 (e4m3) storage is also supported for HBM/
+capacity savings on chips with native fp8.
+
+Scheme (mirrors the reference's scaling structure):
+  * weights: per-output-channel absmax scale, quantized once at load
+  * activations: per-row (token) dynamic absmax scale, quantized per call
+  * y = (x_q @ w_q) * x_scale * w_scale + b, accumulated in int32/f32
+
+`quantize_params` rewrites linear leaves {"w", "b"} into
+{"w_q", "w_scale", "b"}; `ops.basic.linear` dispatches on "w_q", so every
+model in the framework picks the path up with no forward changes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(w):
+    """(..., in, out) float weight -> (int8 weight, (..., 1, out) f32 scale).
+    A leading axis supports lax.scan-stacked per-layer weights."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_weight_fp8(w):
+    """(..., in, out) float weight -> (e4m3 weight, (..., 1, out) f32 scale)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 448.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = (wf / scale).astype(jnp.float8_e4m3fn)
+    return q, scale
+
+
+def linear_int8(p, x):
+    """Dynamic-activation int8 linear: per-row x scale, per-col w scale."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    xs = jnp.maximum(xs, 1e-8)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * p["w_scale"]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def linear_fp8(p, x):
+    """fp8 storage path (reference fp8_linear semantics: clamp-to-1 row
+    scale); the matmul accumulates in f32 — native fp8 MXU where available,
+    upcast elsewhere."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 448.0, 1.0)
+    xq = (xf / xs).astype(jnp.float8_e4m3fn)
+    y = jax.lax.dot_general(
+        xq, p["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y * xs * p["w_scale"]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _is_linear_leaf(node) -> bool:
+    return (isinstance(node, dict) and "w" in node
+            and not isinstance(node["w"], dict)
+            and getattr(node["w"], "ndim", 0) >= 2)
+
+
+def quantize_params(params, mode: str = "int8",
+                    predicate: Optional[Callable[[str, object], bool]] = None,
+                    min_size: int = 1 << 16, min_dim: int = 128):
+    """Walk a param pytree and quantize every linear leaf.
+
+    predicate(path, leaf) -> bool can exclude layers (e.g. final heads,
+    modulation tables). Leaves smaller than `min_size` elements stay in
+    high precision (scales/LNs/small projections aren't worth it).
+    """
+    quant = quantize_weight_int8 if mode == "int8" else quantize_weight_fp8
+
+    def walk(node, path=""):
+        if _is_linear_leaf(node):
+            w = node["w"]
+            # last-two-dims >= 128 excludes conv kernels (O, I, K_small) from
+            # the (L, in, out) scan-stacked linear case
+            keep = (w.ndim not in (2, 3) or w.size < min_size
+                    or w.shape[-1] < min_dim or w.shape[-2] < min_dim
+                    or (predicate is not None and not predicate(path, node)))
+            if keep:
+                return node
+            q, scale = quant(w)
+            out = {k: v for k, v in node.items() if k != "w"}
+            out["w_q"], out["w_scale"] = q, scale
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v, f"{path}.{i}") for i, v in enumerate(node))
+        return node
+
+    return walk(params)
+
+
+def quantized_fraction(params) -> float:
+    """Diagnostic: fraction of linear-leaf elements running quantized."""
+    q = n = 0
+
+    def walk(node):
+        nonlocal q, n
+        if isinstance(node, dict):
+            if "w_q" in node:
+                q += node["w_q"].size
+                n += node["w_q"].size
+            elif _is_linear_leaf(node):
+                n += node["w"].size
+            else:
+                for v in node.values():
+                    walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return q / max(n, 1)

@@ -205,6 +205,26 @@ class WanVideoPipeline:
         else:
             raise ValueError(f"unknown model kind {kind}")
 
+    def quantize(self, mode: str = "int8", targets: tuple = ("dit", "dit2",
+                                                             "vace")):
+        """Quantize DiT linear weights to int8/fp8 — the TPU analog of the
+        reference fp8 path (vram_management/layers.py:115-151; the 4-min
+        ComfyUI baseline runs the 14B fp8-quantized). Must run after LoRA
+        merging. The output head and modulation tables stay high-precision."""
+        from ..ops.quant import quantize_params
+        keep = ("head", "modulation")
+
+        def pred(path, leaf):
+            return not any(k in path for k in keep)
+
+        for t in targets:
+            attr = f"{t}_params"
+            params = getattr(self, attr, None)
+            if params is not None:
+                setattr(self, attr, quantize_params(params, mode=mode,
+                                                    predicate=pred))
+        self._jit_cache.clear()
+
     def load_lora(self, target: str = "dit", path: Optional[str] = None,
                   state_dict=None, alpha: float = 1.0):
         """Merge a LoRA into `dit`/`dit2`/`vace` weights
