@@ -166,3 +166,43 @@ def test_flux_lora_alpha_rescale():
     np.testing.assert_allclose(
         converted["blocks.0.attn.a_to_qkv.lora_A.weight"], A * scale,
         rtol=1e-6, atol=1e-6)
+
+
+def test_flux_controlnet_conditions_output():
+    import video_styler_tpu.models.flux_controlnet as FC
+    pipe = _tiny_pipe()
+    cfg = FC.FluxControlNetConfig(dit=CFG, num_joint_blocks=1,
+                                  num_single_blocks=1)
+    pipe.controlnet_cfg = cfg
+    pipe.controlnet_params = FC.init_flux_controlnet(jax.random.PRNGKey(5),
+                                                     cfg)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8))
+    a = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             controlnet_image=img, return_latents=True)
+    b = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             return_latents=True)
+    assert bool(jnp.isfinite(a).all())
+    assert float(jnp.abs(a - b).mean()) > 1e-6
+    # scale=0 controlnet == no controlnet
+    c = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             controlnet_image=img, controlnet_scale=0.0, return_latents=True)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-5)
+
+
+def test_flux_ipadapter_conditions_output():
+    import video_styler_tpu.models.flux_controlnet as FC
+    pipe = _tiny_pipe()
+    n = CFG.num_joint_blocks + CFG.num_single_blocks
+    pipe.ipadapter_params = FC.init_flux_ipadapter(
+        jax.random.PRNGKey(6), CFG, num_tokens=4, num_blocks=n)
+    pipe.ipadapter_image_encoder = lambda imgs: np.ones((len(imgs), 1152),
+                                                        np.float32)
+    img = Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (32, 32, 3), np.uint8))
+    a = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             ipadapter_images=img, return_latents=True)
+    b = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             return_latents=True)
+    assert bool(jnp.isfinite(a).all())
+    assert float(jnp.abs(a - b).mean()) > 1e-6

@@ -213,9 +213,19 @@ def _heads(x, n):
     return x.reshape(b, s, n, d // n)
 
 
-def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig):
+def _interact_ipadapter(out, q, ip_k, ip_v, scale):
+    """interact_with_ipadapter (flux_dit.py:7-12): out += scale*sdpa(q, ip)."""
+    b, s = out.shape[:2]
+    ip = attention(q, ip_k.astype(q.dtype), ip_v.astype(q.dtype))
+    return out + scale * ip.reshape(b, s, -1).astype(out.dtype)
+
+
+def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig,
+                ip_k=None, ip_v=None, ip_scale=1.0):
     """FluxJointTransformerBlock.forward (flux_dit.py:131-149). The RoPE
-    table covers the concatenated [text | image] sequence."""
+    table covers the concatenated [text | image] sequence. ip_k/ip_v
+    (B, T_ip, N, D) add IP-Adapter attention on the image stream, queried
+    with the pre-RoPE normed q_a (flux_dit.py:96-99)."""
     sh_a, sc_a, g_a, shm_a, scm_a, gm_a = _ada_mod(p["norm1_a"], temb, 6)
     sh_b, sc_b, g_b, shm_b, scm_b, gm_b = _ada_mod(p["norm1_b"], temb, 6)
     na = layer_norm({}, x_a, cfg.eps) * (1 + sc_a) + sh_a
@@ -238,6 +248,8 @@ def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig):
     out = out.reshape(out.shape[0], out.shape[1], cfg.dim)
     s_b = x_b.shape[1]
     out_b, out_a = out[:, :s_b], out[:, s_b:]
+    if ip_k is not None:
+        out_a = _interact_ipadapter(out_a, q_a, ip_k, ip_v, ip_scale)
 
     x_a = x_a + g_a * linear(ap["a_to_out"], out_a)
     na = layer_norm({}, x_a, cfg.eps) * (1 + scm_a) + shm_a
@@ -249,8 +261,11 @@ def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig):
     return x_a, x_b
 
 
-def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig):
-    """FluxSingleTransformerBlock.forward (flux_dit.py:208-253)."""
+def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
+                 ip_k=None, ip_v=None, ip_scale=1.0):
+    """FluxSingleTransformerBlock.forward (flux_dit.py:208-253). The
+    IP-Adapter query here is the post-RoPE q over the full [text | image]
+    sequence (flux_dit.py:229-243)."""
     sh, sc, gate = _ada_mod(p["norm"], temb, 3)
     nx = layer_norm({}, x, cfg.eps) * (1 + sc) + sh
     proj = linear(p["to_qkv_mlp"], nx)
@@ -261,6 +276,8 @@ def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig):
     q = rope_apply_interleaved(q, cos, sin)
     k = rope_apply_interleaved(k, cos, sin)
     out = attention(q, k, v).reshape(x.shape[0], x.shape[1], cfg.dim)
+    if ip_k is not None:
+        out = _interact_ipadapter(out, q, ip_k, ip_v, ip_scale)
     h = jnp.concatenate([out, gelu_tanh(mlp)], axis=-1)
     return x + gate * linear(p["proj_out"], h)
 
@@ -277,7 +294,9 @@ def unpatchify(x, height, width):
 def flux_dit_forward(params, cfg: FluxDiTConfig, hidden_states, timestep,
                      prompt_emb, pooled_prompt_emb, guidance=None,
                      image_ids=None, text_ids=None, kontext_latents=None,
-                     kontext_ids=None, remat: bool = False):
+                     kontext_ids=None, remat: bool = False,
+                     controlnet_res=None, controlnet_single_res=None,
+                     ip_kv=None, ip_scale=1.0):
     """FluxDiT.forward (flux_dit.py:404-473).
 
     hidden_states: (B, 16, H, W) latents; prompt_emb: (B, L, context_dim);
@@ -291,7 +310,10 @@ def flux_dit_forward(params, cfg: FluxDiTConfig, hidden_states, timestep,
     x, ctx, temb, cos, sin, n_img = flux_embed(
         params, cfg, hidden_states, timestep, prompt_emb, pooled_prompt_emb,
         guidance, image_ids, text_ids, kontext_latents, kontext_ids)
-    h = flux_trunk(params, cfg, x, ctx, temb, cos, sin, remat=remat)
+    h = flux_trunk(params, cfg, x, ctx, temb, cos, sin, remat=remat,
+                   controlnet_res=controlnet_res,
+                   controlnet_single_res=controlnet_single_res,
+                   ip_kv=ip_kv, ip_scale=ip_scale)
     height, width = hidden_states.shape[-2:]
     return flux_head(params, cfg, h[:, :n_img], temb, height, width)
 
@@ -333,28 +355,69 @@ def flux_embed(params, cfg: FluxDiTConfig, hidden_states, timestep,
 
 
 def flux_trunk(params, cfg: FluxDiTConfig, x, ctx, temb, cos, sin,
-               remat: bool = False):
-    """Joint + single block stacks -> image(+kontext) tokens post-trunk."""
-    def joint_scan(carry, layer_p):
+               remat: bool = False, controlnet_res=None,
+               controlnet_single_res=None, ip_kv=None, ip_scale=1.0):
+    """Joint + single block stacks -> image(+kontext) tokens post-trunk.
+
+    controlnet_res: (num_joint, B, n_img, D) per-block residuals added to
+    the image stream (model_fn insertion, flux_image_new.py:1264-1269);
+    controlnet_single_res: (num_single, B, n_img, D) added past the text
+    tokens. ip_kv: (ip_k, ip_v) each (num_joint+num_single, B, T, N, D)
+    stacked per-block IP-Adapter keys/values."""
+    n_img_pad = x.shape[1]          # includes kontext tokens if appended
+    if controlnet_res is not None and controlnet_res.shape[2] < n_img_pad:
+        pad = n_img_pad - controlnet_res.shape[2]
+        controlnet_res = jnp.pad(controlnet_res,
+                                 ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nj = cfg.num_joint_blocks
+    ip_k = ip_v = None
+    if ip_kv is not None:
+        ip_k, ip_v = ip_kv
+
+    def joint_body(a, b, layer_p, res, ipk, ipv):
+        a, b = joint_block(layer_p, a, b, temb, cos, sin, cfg,
+                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale)
+        if res is not None:
+            a = a + res.astype(a.dtype)
+        return a, b
+
+    def joint_scan(carry, xs):
         a, b = carry
-        fn = joint_block
-        if remat:
-            fn = jax.checkpoint(joint_block, static_argnums=(6,))
-        a, b = fn(layer_p, a, b, temb, cos, sin, cfg)
+        fn = jax.checkpoint(joint_body) if remat else joint_body
+        a, b = fn(a, b, xs["p"], xs.get("res"), xs.get("ipk"), xs.get("ipv"))
         return (a, b), None
 
-    (x, ctx), _ = jax.lax.scan(joint_scan, (x, ctx), params["blocks"])
+    xs = {"p": params["blocks"]}
+    if controlnet_res is not None:
+        xs["res"] = controlnet_res
+    if ip_k is not None:
+        xs["ipk"], xs["ipv"] = ip_k[:nj], ip_v[:nj]
+    (x, ctx), _ = jax.lax.scan(joint_scan, (x, ctx), xs)
 
     h = jnp.concatenate([ctx, x], axis=1)
+    s_ctx = ctx.shape[1]
 
-    def single_scan(carry, layer_p):
-        fn = single_block
-        if remat:
-            fn = jax.checkpoint(single_block, static_argnums=(5,))
-        return fn(layer_p, carry, temb, cos, sin, cfg), None
+    def single_body(carry, layer_p, res, ipk, ipv):
+        out = single_block(layer_p, carry, temb, cos, sin, cfg,
+                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale)
+        if res is not None:
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, (out[:, s_ctx:s_ctx + res.shape[1]]
+                      + res.astype(out.dtype)), s_ctx, axis=1)
+        return out
 
-    h, _ = jax.lax.scan(single_scan, h, params["single_blocks"])
-    return h[:, ctx.shape[1]:]
+    def single_scan(carry, xs):
+        fn = jax.checkpoint(single_body) if remat else single_body
+        return fn(carry, xs["p"], xs.get("res"), xs.get("ipk"),
+                  xs.get("ipv")), None
+
+    xs = {"p": params["single_blocks"]}
+    if controlnet_single_res is not None:
+        xs["res"] = controlnet_single_res
+    if ip_k is not None:
+        xs["ipk"], xs["ipv"] = ip_k[nj:], ip_v[nj:]
+    h, _ = jax.lax.scan(single_scan, h, xs)
+    return h[:, s_ctx:]
 
 
 def flux_head(params, cfg: FluxDiTConfig, h, temb, height, width):
@@ -415,41 +478,44 @@ def convert_flux_dit(sd, cfg: FluxDiTConfig, dtype=jnp.bfloat16):
     if cfg.guidance_embed and "guidance_embedder.timestep_embedder.0.weight" in sd:
         params["guidance_embedder"] = emb("guidance_embedder")
 
-    joint = []
-    for i in range(cfg.num_joint_blocks):
-        b = f"blocks.{i}"
-        joint.append({
-            "norm1_a": {"linear": _lin_t(sd, f"{b}.norm1_a.linear", dtype)},
-            "norm1_b": {"linear": _lin_t(sd, f"{b}.norm1_b.linear", dtype)},
-            "attn": {
-                "a_to_qkv": _lin_t(sd, f"{b}.attn.a_to_qkv", dtype),
-                "b_to_qkv": _lin_t(sd, f"{b}.attn.b_to_qkv", dtype),
-                "norm_q_a": {"weight": _j(sd[f"{b}.attn.norm_q_a.weight"], dtype)},
-                "norm_k_a": {"weight": _j(sd[f"{b}.attn.norm_k_a.weight"], dtype)},
-                "norm_q_b": {"weight": _j(sd[f"{b}.attn.norm_q_b.weight"], dtype)},
-                "norm_k_b": {"weight": _j(sd[f"{b}.attn.norm_k_b.weight"], dtype)},
-                "a_to_out": _lin_t(sd, f"{b}.attn.a_to_out", dtype),
-                "b_to_out": _lin_t(sd, f"{b}.attn.b_to_out", dtype),
-            },
-            "ff_a": {"0": _lin_t(sd, f"{b}.ff_a.0", dtype),
-                     "2": _lin_t(sd, f"{b}.ff_a.2", dtype)},
-            "ff_b": {"0": _lin_t(sd, f"{b}.ff_b.0", dtype),
-                     "2": _lin_t(sd, f"{b}.ff_b.2", dtype)},
-        })
-    params["blocks"] = stack_blocks(joint)
-
-    single = []
-    for i in range(cfg.num_single_blocks):
-        b = f"single_blocks.{i}"
-        single.append({
-            "norm": {"linear": _lin_t(sd, f"{b}.norm.linear", dtype)},
-            "to_qkv_mlp": _lin_t(sd, f"{b}.to_qkv_mlp", dtype),
-            "norm_q_a": {"weight": _j(sd[f"{b}.norm_q_a.weight"], dtype)},
-            "norm_k_a": {"weight": _j(sd[f"{b}.norm_k_a.weight"], dtype)},
-            "proj_out": _lin_t(sd, f"{b}.proj_out", dtype),
-        })
-    params["single_blocks"] = stack_blocks(single)
+    params["blocks"] = stack_blocks(
+        [convert_joint_block(sd, f"blocks.{i}", dtype)
+         for i in range(cfg.num_joint_blocks)])
+    params["single_blocks"] = stack_blocks(
+        [convert_single_block(sd, f"single_blocks.{i}", dtype)
+         for i in range(cfg.num_single_blocks)])
     return params
+
+
+def convert_joint_block(sd, b: str, dtype):
+    return {
+        "norm1_a": {"linear": _lin_t(sd, f"{b}.norm1_a.linear", dtype)},
+        "norm1_b": {"linear": _lin_t(sd, f"{b}.norm1_b.linear", dtype)},
+        "attn": {
+            "a_to_qkv": _lin_t(sd, f"{b}.attn.a_to_qkv", dtype),
+            "b_to_qkv": _lin_t(sd, f"{b}.attn.b_to_qkv", dtype),
+            "norm_q_a": {"weight": _j(sd[f"{b}.attn.norm_q_a.weight"], dtype)},
+            "norm_k_a": {"weight": _j(sd[f"{b}.attn.norm_k_a.weight"], dtype)},
+            "norm_q_b": {"weight": _j(sd[f"{b}.attn.norm_q_b.weight"], dtype)},
+            "norm_k_b": {"weight": _j(sd[f"{b}.attn.norm_k_b.weight"], dtype)},
+            "a_to_out": _lin_t(sd, f"{b}.attn.a_to_out", dtype),
+            "b_to_out": _lin_t(sd, f"{b}.attn.b_to_out", dtype),
+        },
+        "ff_a": {"0": _lin_t(sd, f"{b}.ff_a.0", dtype),
+                 "2": _lin_t(sd, f"{b}.ff_a.2", dtype)},
+        "ff_b": {"0": _lin_t(sd, f"{b}.ff_b.0", dtype),
+                 "2": _lin_t(sd, f"{b}.ff_b.2", dtype)},
+    }
+
+
+def convert_single_block(sd, b: str, dtype):
+    return {
+        "norm": {"linear": _lin_t(sd, f"{b}.norm.linear", dtype)},
+        "to_qkv_mlp": _lin_t(sd, f"{b}.to_qkv_mlp", dtype),
+        "norm_q_a": {"weight": _j(sd[f"{b}.norm_q_a.weight"], dtype)},
+        "norm_k_a": {"weight": _j(sd[f"{b}.norm_k_a.weight"], dtype)},
+        "proj_out": _lin_t(sd, f"{b}.proj_out", dtype),
+    }
 
 
 def rename_civitai_flux(sd):

@@ -77,6 +77,11 @@ class FluxImagePipeline:
         self.clip_params = None
         self.t5_params = None
         self.t5_cfg: T5Config = T5_V11_XXL
+        self.controlnet_params = None
+        self.controlnet_cfg = None
+        self.ipadapter_params = None
+        # callable(list[PIL 384x384]) -> (B, 1152) SigLIP pooled embedding
+        self.ipadapter_image_encoder = None
         self._jit_cache = {}
 
     # ---------------- loading ----------------
@@ -114,6 +119,39 @@ class FluxImagePipeline:
         pipe.prompter.fetch_tokenizers(tokenizer_1_path, tokenizer_2_path)
         pipe.prompter.fetch_models(pipe.clip_params, pipe.t5_params, pipe.t5_cfg)
         return pipe
+
+    def load_controlnet(self, path=None, state_dict=None, cfg=None):
+        """Attach a FLUX ControlNet (FluxImageUnit_ControlNet analog)."""
+        from ..models import flux_controlnet as FC
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        if cfg is None:
+            cfg = FC.FluxControlNetConfig(
+                dit=self.dit_cfg,
+                num_joint_blocks=max([int(k.split(".")[1]) + 1 for k in sd
+                                      if k.startswith("controlnet_blocks.")],
+                                     default=0),
+                num_single_blocks=max(
+                    [int(k.split(".")[1]) + 1 for k in sd
+                     if k.startswith("controlnet_single_blocks.")], default=0),
+                guidance_embed="guidance_embedder.timestep_embedder.0.weight"
+                               in sd)
+        self.controlnet_cfg = cfg
+        self.controlnet_params = FC.convert_flux_controlnet(sd, cfg,
+                                                            dtype=self.dtype)
+        self._jit_cache.clear()
+
+    def load_ipadapter(self, path=None, state_dict=None, image_encoder=None):
+        """Attach a FLUX IP-Adapter (+ optional SigLIP pooled-embedding fn)."""
+        from ..models import flux_controlnet as FC
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        n = self.dit_cfg.num_joint_blocks + self.dit_cfg.num_single_blocks
+        self.ipadapter_params = FC.convert_flux_ipadapter(sd, num_blocks=n,
+                                                          dtype=self.dtype)
+        if image_encoder is not None:
+            self.ipadapter_image_encoder = image_encoder
+        self._jit_cache.clear()
 
     def load_lora(self, path=None, state_dict=None, alpha: float = 1.0):
         """Merge a FLUX LoRA into the DiT weights (any public key layout;
@@ -159,12 +197,16 @@ class FluxImagePipeline:
         ki = None if kontext_ids is None else np.asarray(kontext_ids)
 
         def full(params, latents, timestep, prompt_emb, pooled, guidance,
-                 kontext_latents=None):
+                 kontext_latents=None, controlnet_res=None,
+                 controlnet_single_res=None, ip_kv=None, ip_scale=1.0):
             x, ctx, temb, cos, sin, n_img = F.flux_embed(
                 params, cfg, latents, timestep, prompt_emb, pooled, guidance,
                 kontext_latents=kontext_latents, kontext_ids=ki)
             modulated = F.flux_modulated_input(params, cfg, x, temb)
-            h = F.flux_trunk(params, cfg, x, ctx, temb, cos, sin)
+            h = F.flux_trunk(params, cfg, x, ctx, temb, cos, sin,
+                             controlnet_res=controlnet_res,
+                             controlnet_single_res=controlnet_single_res,
+                             ip_kv=ip_kv, ip_scale=ip_scale)
             residual = h - x
             height, width = latents.shape[-2:]
             v = F.flux_head(params, cfg, h[:, :n_img], temb, height, width)
@@ -190,8 +232,27 @@ class FluxImagePipeline:
         self._jit_cache[key] = fns
         return fns
 
+    def _controlnet_res(self, latents, cn_cond, timestep, prompt_emb, pooled,
+                        guidance, processor_id, scale):
+        """Run the ControlNet trunk; residual stacks aligned to the DiT's
+        block counts and scaled (FluxImageUnit_ControlNet analog)."""
+        from ..models import flux_controlnet as FC
+        cfg = self.controlnet_cfg
+        key = ("cn", processor_id)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, x, c, t, pe, pl, g: FC.flux_controlnet_forward(
+                    p, cfg, x, c, t, pe, pl, g, processor_id=processor_id))
+        res, single = self._jit_cache[key](
+            self.controlnet_params, latents, cn_cond, timestep, prompt_emb,
+            pooled, guidance)
+        res = FC.align_res_stack(res, self.dit_cfg.num_joint_blocks)
+        single = FC.align_res_stack(single, self.dit_cfg.num_single_blocks)
+        return (None if res is None else res * scale,
+                None if single is None else single * scale)
+
     def _branch(self, latents, timestep, prompt_emb, pooled, guidance,
-                kontext, tea_cache):
+                kontext, tea_cache, cn=None, ip_kv=None, ip_scale=1.0):
         kl, ki = (kontext if kontext is not None else (None, None))
         full, skip, modulated_only = self._model_fns(ki)
         args = (self.dit_params, latents, timestep, prompt_emb, pooled,
@@ -200,7 +261,8 @@ class FluxImagePipeline:
             mod = modulated_only(*args, kl)
             if tea_cache.check(mod) and tea_cache.previous_residual is not None:
                 return skip(*args, tea_cache.previous_residual, kl)
-        v, residual, _ = full(*args, kl)
+        cn_res, cn_single = cn if cn is not None else (None, None)
+        v, residual, _ = full(*args, kl, cn_res, cn_single, ip_kv, ip_scale)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -222,6 +284,11 @@ class FluxImagePipeline:
         sigma_shift: Optional[float] = None,
         num_inference_steps: int = 30,
         kontext_images=None,
+        controlnet_image=None,
+        controlnet_scale: float = 1.0,
+        controlnet_processor_id: Optional[int] = None,
+        ipadapter_images=None,
+        ipadapter_scale: float = 1.0,
         tea_cache_l1_thresh: Optional[float] = None,
         progress_bar_cmd=None,
         return_latents: bool = False,
@@ -268,6 +335,33 @@ class FluxImagePipeline:
             kontext = (jnp.concatenate(k_lats, axis=1),
                        np.concatenate(k_ids, axis=0))
 
+        # ControlNet conditioning (FluxImageUnit_ControlNet: VAE-encoded
+        # control image, flux_image_new.py:670-705)
+        cn_cond = None
+        if controlnet_image is not None and self.controlnet_params is not None:
+            arr = _preprocess_images(
+                [controlnet_image.resize((width, height))])[:, :, 0]
+            cn_cond = self.encode_image(arr)
+
+        # IP-Adapter kv (FluxImageUnit_IPAdapter, :707-731): posi uses the
+        # image encoding, nega a zeros encoding
+        ip_posi = ip_nega = None
+        if ipadapter_images is not None and self.ipadapter_params is not None:
+            from ..models import flux_controlnet as FC
+            if not isinstance(ipadapter_images, list):
+                ipadapter_images = [ipadapter_images]
+            emb = jnp.asarray(self.ipadapter_image_encoder(
+                [im.convert("RGB").resize((384, 384)) for im
+                 in ipadapter_images]), self.dtype)
+            k, v_, _ = FC.flux_ipadapter_kv(self.ipadapter_params,
+                                            self.dit_cfg, emb)
+            ip_posi = (k, v_)
+            if cfg_scale != 1.0:
+                k0, v0, _ = FC.flux_ipadapter_kv(self.ipadapter_params,
+                                                 self.dit_cfg,
+                                                 jnp.zeros_like(emb))
+                ip_nega = (k0, v0)
+
         tea_cache = None
         if tea_cache_l1_thresh is not None:
             tea_cache = FluxTeaCache(num_inference_steps, tea_cache_l1_thresh)
@@ -278,11 +372,25 @@ class FluxImagePipeline:
         for i in steps:
             t_host = float(self.scheduler.timesteps[i])
             timestep = jnp.asarray([t_host], jnp.float32)
+            cn = None
+            if cn_cond is not None:
+                cn = self._controlnet_res(latents, cn_cond, timestep,
+                                          prompt_emb, pooled, guidance,
+                                          controlnet_processor_id,
+                                          controlnet_scale)
             v = self._branch(latents, timestep, prompt_emb, pooled, guidance,
-                             kontext, tea_cache)
+                             kontext, tea_cache, cn=cn, ip_kv=ip_posi,
+                             ip_scale=ipadapter_scale)
             if cfg_scale != 1.0:
+                cn_n = None
+                if cn_cond is not None:
+                    cn_n = self._controlnet_res(latents, cn_cond, timestep,
+                                                nega[0], nega[1], guidance,
+                                                controlnet_processor_id,
+                                                controlnet_scale)
                 v_nega = self._branch(latents, timestep, nega[0], nega[1],
-                                      guidance, kontext, None)
+                                      guidance, kontext, None, cn=cn_n,
+                                      ip_kv=ip_nega, ip_scale=1.0)
                 v = v_nega + cfg_scale * (v - v_nega)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
