@@ -11,3 +11,4 @@ from .sd_video import SDVideoPipeline
 from .qwen_image import QwenImagePipeline
 from .cog_video import CogVideoPipeline
 from .step_video import StepVideoPipeline
+from .hunyuan_image import HunyuanImagePipeline
