@@ -12,3 +12,4 @@ from .qwen_image import QwenImagePipeline
 from .cog_video import CogVideoPipeline
 from .step_video import StepVideoPipeline
 from .hunyuan_image import HunyuanImagePipeline
+from .omnigen_image import OmnigenImagePipeline
