@@ -33,7 +33,18 @@ class SDXLImagePipeline:
         self.tokenizer = None
         self.te1_layers = 11
         self.te2_layers = 32
+        # Kolors variant: ChatGLM replaces both CLIP encoders
+        # (reference sdxl_image.py:64-67 + kolors_prompter.py:324-345)
+        self.kolors_params = None
+        self.kolors_cfg = None
+        self.kolors_tokenizer = None
         self._jit = {}
+
+    def fetch_kolors_text_encoder(self, params, cfg=None, tokenizer=None):
+        from ..models.kolors_text_encoder import CHATGLM3_6B
+        self.kolors_params = params
+        self.kolors_cfg = cfg or CHATGLM3_6B
+        self.kolors_tokenizer = tokenizer
 
     @classmethod
     def from_state_dicts(cls, unet_sd=None, te1_sd=None, te2_sd=None,
@@ -69,7 +80,22 @@ class SDXLImagePipeline:
 
     def encode_prompt(self, prompt: str, clip_skip: int = 1,
                       clip_skip_2: int = 2):
-        """-> (context (B, 77, 768+1280... concat to 2048), pooled (B, 1280))."""
+        """-> (context (B, 77, 768+1280... concat to 2048), pooled (B, 1280));
+        Kolors: (context (B, 256, 4096), pooled (B, 4096))."""
+        if self.kolors_params is not None:
+            from ..models.kolors_text_encoder import kolors_encode
+            if self.kolors_tokenizer is not None:
+                enc = self.kolors_tokenizer([prompt], padding="max_length",
+                                            truncation=True, max_length=256,
+                                            return_tensors="np")
+                ids = enc["input_ids"].astype(np.int32)
+                mask = enc["attention_mask"]
+            else:
+                ids, mask = self._ids(prompt), None
+            emb, pooled = kolors_encode(self.kolors_params, self.kolors_cfg,
+                                        jnp.asarray(ids), mask,
+                                        clip_skip=clip_skip_2)
+            return emb.astype(self.dtype), pooled.astype(self.dtype)
         ids = jnp.asarray(self._ids(prompt))
         h1 = XL.sdxl_text_encoder_forward(self.te1_params, ids,
                                           clip_skip=clip_skip,
