@@ -79,6 +79,11 @@ class FluxImagePipeline:
         self.t5_cfg: T5Config = T5_V11_XXL
         self.controlnet_params = None
         self.controlnet_cfg = None
+        # NexusGen AR conditioning (FluxImageUnit_NexusGen,
+        # flux_image_new.py:796-858)
+        self.nexus_gen = None                   # callable(prompt, ref_image)
+        self.nexus_gen_generation_adapter = None
+        self.nexus_gen_editing_adapter = None   # (params, MergerConfig)
         self.ipadapter_params = None
         # callable(list[PIL 384x384]) -> (B, 1152) SigLIP pooled embedding
         self.ipadapter_image_encoder = None
@@ -186,22 +191,24 @@ class FluxImagePipeline:
             self.vae_decoder_params, jnp.asarray(latents, jnp.float32),
             self.vae_cfg)
 
-    def _model_fns(self, kontext_ids=None):
-        """kontext_ids (host numpy) are closed over — they feed the host-side
-        RoPE table build, so they must not be traced."""
-        key = ("flux", None if kontext_ids is None
-               else kontext_ids.tobytes())
+    def _model_fns(self, kontext_ids=None, text_ids=None):
+        """kontext_ids/text_ids (host numpy) are closed over — they feed the
+        host-side RoPE table build, so they must not be traced."""
+        key = ("flux", None if kontext_ids is None else kontext_ids.tobytes(),
+               None if text_ids is None else np.asarray(text_ids).tobytes())
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.dit_cfg
         ki = None if kontext_ids is None else np.asarray(kontext_ids)
+        ti = None if text_ids is None else np.asarray(text_ids)
 
         def full(params, latents, timestep, prompt_emb, pooled, guidance,
                  kontext_latents=None, controlnet_res=None,
                  controlnet_single_res=None, ip_kv=None, ip_scale=1.0):
             x, ctx, temb, cos, sin, n_img = F.flux_embed(
                 params, cfg, latents, timestep, prompt_emb, pooled, guidance,
-                kontext_latents=kontext_latents, kontext_ids=ki)
+                text_ids=ti, kontext_latents=kontext_latents,
+                kontext_ids=ki)
             modulated = F.flux_modulated_input(params, cfg, x, temb)
             h = F.flux_trunk(params, cfg, x, ctx, temb, cos, sin,
                              controlnet_res=controlnet_res,
@@ -216,7 +223,8 @@ class FluxImagePipeline:
                  residual, kontext_latents=None):
             x, ctx, temb, cos, sin, n_img = F.flux_embed(
                 params, cfg, latents, timestep, prompt_emb, pooled, guidance,
-                kontext_latents=kontext_latents, kontext_ids=ki)
+                text_ids=ti, kontext_latents=kontext_latents,
+                kontext_ids=ki)
             h = x + residual
             height, width = latents.shape[-2:]
             return F.flux_head(params, cfg, h[:, :n_img], temb, height, width)
@@ -225,12 +233,28 @@ class FluxImagePipeline:
                            guidance, kontext_latents=None):
             x, _, temb, _, _, _ = F.flux_embed(
                 params, cfg, latents, timestep, prompt_emb, pooled, guidance,
-                kontext_latents=kontext_latents, kontext_ids=ki)
+                text_ids=ti, kontext_latents=kontext_latents,
+                kontext_ids=ki)
             return F.flux_modulated_input(params, cfg, x, temb)
 
         fns = (jax.jit(full), jax.jit(skip), jax.jit(modulated_only))
         self._jit_cache[key] = fns
         return fns
+
+    @staticmethod
+    def _nexus_gen_editing_text_ids(lat_h, lat_w, embed_grid, ref_grid):
+        """get_editing_text_ids (flux_image_new.py:817-838): per-embedding
+        position grids scaled to the latent resolution; reference grid gets
+        f_id=1."""
+        def ids(grid, f_id):
+            h, w = int(grid[1]), int(grid[2])
+            out = np.zeros((h // 2, w // 2, 3), np.float64)
+            out[..., 0] = f_id
+            out[..., 1] = np.arange(h // 2)[:, None] * (lat_h / h)
+            out[..., 2] = np.arange(w // 2)[None, :] * (lat_w / w)
+            return out.reshape(-1, 3)
+
+        return np.concatenate([ids(embed_grid, 0), ids(ref_grid, 1)], axis=0)
 
     def _controlnet_res(self, latents, cn_cond, timestep, prompt_emb, pooled,
                         guidance, processor_id, scale):
@@ -252,9 +276,10 @@ class FluxImagePipeline:
                 None if single is None else single * scale)
 
     def _branch(self, latents, timestep, prompt_emb, pooled, guidance,
-                kontext, tea_cache, cn=None, ip_kv=None, ip_scale=1.0):
+                kontext, tea_cache, cn=None, ip_kv=None, ip_scale=1.0,
+                text_ids=None):
         kl, ki = (kontext if kontext is not None else (None, None))
-        full, skip, modulated_only = self._model_fns(ki)
+        full, skip, modulated_only = self._model_fns(ki, text_ids)
         args = (self.dit_params, latents, timestep, prompt_emb, pooled,
                 guidance)
         if tea_cache is not None:
@@ -284,6 +309,7 @@ class FluxImagePipeline:
         sigma_shift: Optional[float] = None,
         num_inference_steps: int = 30,
         kontext_images=None,
+        nexus_gen_reference_image=None,
         controlnet_image=None,
         controlnet_scale: float = 1.0,
         controlnet_processor_id: Optional[int] = None,
@@ -315,6 +341,27 @@ class FluxImagePipeline:
         nega = None
         if cfg_scale != 1.0:
             nega = self.encode_prompt(negative_prompt, t5_sequence_length)
+
+        # NexusGen AR conditioning replaces prompt_emb (+ custom text ids)
+        text_ids = None
+        if self.nexus_gen is not None:
+            from ..models import nexus_gen as NG
+            if nexus_gen_reference_image is None:
+                embed, _, _ = self.nexus_gen(prompt)
+                prompt_emb = NG.nexus_gen_adapter_forward(
+                    self.nexus_gen_generation_adapter,
+                    jnp.asarray(embed, self.dtype)[None])
+                text_ids = np.zeros((prompt_emb.shape[1], 3), np.float64)
+            else:
+                embed, ref_embed, grids = self.nexus_gen(
+                    prompt, nexus_gen_reference_image)
+                m_params, m_cfg = self.nexus_gen_editing_adapter
+                prompt_emb = NG.nexus_gen_merger_forward(
+                    m_params, m_cfg, jnp.asarray(embed, self.dtype)[None],
+                    grids[1:2], jnp.asarray(ref_embed, self.dtype)[None],
+                    grids[0:1])
+                text_ids = self._nexus_gen_editing_text_ids(
+                    height // 8, width // 8, grids[1], grids[0])
 
         guidance = jnp.asarray([embedded_guidance], jnp.float32)
 
@@ -380,7 +427,7 @@ class FluxImagePipeline:
                                           controlnet_scale)
             v = self._branch(latents, timestep, prompt_emb, pooled, guidance,
                              kontext, tea_cache, cn=cn, ip_kv=ip_posi,
-                             ip_scale=ipadapter_scale)
+                             ip_scale=ipadapter_scale, text_ids=text_ids)
             if cfg_scale != 1.0:
                 cn_n = None
                 if cn_cond is not None:
