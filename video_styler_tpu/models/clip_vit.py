@@ -175,3 +175,72 @@ def init_clip_vit(key, cfg: ClipVitConfig = CLIP_VIT_TINY, dtype=jnp.float32):
         "post_norm": init_layer_norm(cfg.dim, dtype=dtype),
         "blocks": blocks,
     }
+
+
+# -- XLM-RoBERTa text tower (wan_video_image_encoder.py:14-141,617-640) -------
+
+def xlm_roberta_forward(params, ids, num_heads: int = 16, pad_id: int = 1,
+                        eps: float = 1e-5, with_head: bool = True):
+    """XLMRobertaWithHead: post-norm blocks, padding-aware position ids
+    (pad_id + cumsum(mask)*mask), mean-pool + 2-layer GELU head.
+
+    ids (B, L) int32 -> (B, out_dim) when with_head else (B, L, dim)."""
+    b, s = ids.shape
+    mask = (ids != pad_id).astype(jnp.int32)
+    pos = pad_id + jnp.cumsum(mask, axis=1) * mask
+    x = (params["token_embedding"][ids]
+         + params["type_embedding"][jnp.zeros_like(ids)]
+         + params["pos_embedding"][pos])
+    x = layer_norm(params["norm"], x, eps)
+
+    bias = jnp.where(mask[:, None, None, :] > 0, 0.0,
+                     jnp.finfo(jnp.float32).min)
+    n = num_heads
+    for p in params["blocks"]:
+        d = x.shape[-1]
+        q = linear(p["q"], x).reshape(b, s, n, d // n)
+        k = linear(p["k"], x).reshape(b, s, n, d // n)
+        v = linear(p["v"], x).reshape(b, s, n, d // n)
+        a = sdpa(q, k, v, bias=bias).reshape(b, s, d)
+        x = layer_norm(p["norm1"], x + linear(p["o"], a), eps)
+        h = linear(p["fc2"], _act(linear(p["fc1"], x), "gelu"))
+        x = layer_norm(p["norm2"], x + h, eps)
+
+    if not with_head or "head_fc1" not in params:
+        return x
+    m = mask[..., None].astype(x.dtype)
+    pooled = (x * m).sum(axis=1) / m.sum(axis=1)
+    return linear(params["head_fc2"], _act(linear(params["head_fc1"], pooled),
+                                           "gelu"))
+
+
+def convert_xlm_roberta(sd: Dict, num_layers: int = 24, dtype=jnp.bfloat16):
+    """'textual.*' keys of the full open-clip-xlm-roberta checkpoint ->
+    pytree (the I2V converter drops these; this completes the tower)."""
+    from ..utils.convert import _lin, _ln, _j
+    sd = {k[len("textual."):] if k.startswith("textual.") else k: v
+          for k, v in sd.items() if not k.startswith("visual.")}
+    blocks = []
+    for i in range(num_layers):
+        pre = f"blocks.{i}"
+        blocks.append({
+            "q": _lin(sd, f"{pre}.attn.q", dtype),
+            "k": _lin(sd, f"{pre}.attn.k", dtype),
+            "v": _lin(sd, f"{pre}.attn.v", dtype),
+            "o": _lin(sd, f"{pre}.attn.o", dtype),
+            "norm1": _ln(sd, f"{pre}.norm1", dtype),
+            "fc1": _lin(sd, f"{pre}.ffn.0", dtype),
+            "fc2": _lin(sd, f"{pre}.ffn.2", dtype),
+            "norm2": _ln(sd, f"{pre}.norm2", dtype),
+        })
+    params = {
+        "token_embedding": _j(sd["token_embedding.weight"], dtype),
+        "type_embedding": _j(sd["type_embedding.weight"], dtype),
+        "pos_embedding": _j(sd["pos_embedding.weight"], dtype),
+        "norm": _ln(sd, "norm", dtype),
+        "blocks": blocks,
+    }
+    if "head.0.weight" in sd:
+        params["head_fc1"] = _lin(sd, "head.0", dtype)
+        params["head_fc2"] = _lin(sd, "head.2", dtype)
+    return params

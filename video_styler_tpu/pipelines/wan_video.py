@@ -226,13 +226,50 @@ class WanVideoPipeline:
         self._jit_cache.clear()
 
     def load_lora(self, target: str = "dit", path: Optional[str] = None,
-                  state_dict=None, alpha: float = 1.0):
+                  state_dict=None, alpha: float = 1.0,
+                  hotload: bool = False):
         """Merge a LoRA into `dit`/`dit2`/`vace` weights
-        (wan_video_new.py:80-106 -> lora/__init__.py:28-46)."""
+        (wan_video_new.py:80-106 -> lora/__init__.py:28-46).
+
+        hotload=True keeps the pristine base weights and the LoRA stack
+        around (the reference's vram_management hotload lists,
+        vram_management/layers.py:152-170): `set_lora_scale` rescales and
+        `unload_loras` restores without re-reading checkpoints."""
         sd = state_dict if state_dict is not None else C.load_state_dict(path)
         attr = f"{target}_params"
+        if hotload:
+            if not hasattr(self, "_lora_stacks"):
+                self._lora_stacks = {}
+            if target not in self._lora_stacks:
+                self._lora_stacks[target] = {"base": getattr(self, attr),
+                                             "loras": []}
+            self._lora_stacks[target]["loras"].append([sd, alpha])
+            self._reapply_loras(target)
+            return
         setattr(self, attr, merge_lora(getattr(self, attr), sd, alpha=alpha))
         self._jit_cache.clear()
+
+    def _reapply_loras(self, target: str):
+        stack = self._lora_stacks[target]
+        params = stack["base"]
+        for sd, alpha in stack["loras"]:
+            if alpha != 0.0:
+                params = merge_lora(params, sd, alpha=alpha)
+        setattr(self, f"{target}_params", params)
+        self._jit_cache.clear()
+
+    def set_lora_scale(self, target: str = "dit", alpha: float = 1.0,
+                       index: int = -1):
+        """Rescale a hotloaded LoRA at runtime (no checkpoint IO)."""
+        self._lora_stacks[target]["loras"][index][1] = alpha
+        self._reapply_loras(target)
+
+    def unload_loras(self, target: str = "dit"):
+        """Restore the pristine base weights for `target`."""
+        stack = getattr(self, "_lora_stacks", {}).pop(target, None)
+        if stack is not None:
+            setattr(self, f"{target}_params", stack["base"])
+            self._jit_cache.clear()
 
     # ---------------- conditioning units ----------------
 

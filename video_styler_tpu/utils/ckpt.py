@@ -111,8 +111,44 @@ def detect_vace_config(sd: Dict) -> Optional[VaceConfig]:
 
 
 def detect_model_kind(sd: Dict) -> str:
-    """Coarse dispatch over the Wan model families."""
+    """Structural architecture detection — the ModelManager analog
+    (reference diffsynth/models/model_manager.py hash registry + 4
+    detectors), keyed on key structure instead of state-dict hashes so
+    finetunes resolve too. Covers every ported family."""
     keys = sd.keys()
+    # non-Wan families first (their keys never collide with Wan's)
+    if any(k.startswith("double_blocks.") for k in keys) or \
+            "img_in.weight" in sd:
+        return "flux_dit"                      # BFL layout
+    if any(k.startswith("controlnet_x_embedder.") for k in keys):
+        return "flux_controlnet"
+    if any(k.startswith("ipadapter_modules.") or k.startswith("ip_adapter.")
+           for k in keys) and any("to_k_ip" in k for k in keys):
+        return "flux_ipadapter" if any("norm_added_k" in k or
+                                       "image_proj.proj" in k for k in keys) \
+            else "ipadapter"
+    if any(k.startswith("joint_blocks.") for k in keys):
+        return "sd3_dit"
+    if any(k.startswith("single_blocks.") and "linear1" in k for k in keys):
+        return "hunyuan_video_dit"
+    if any(".rota1.q_norm." in k or ".Wqkv." in k for k in keys):
+        return "hunyuan_dit"
+    if any(k.startswith("llm.layers.") for k in keys):
+        return "omnigen"
+    if any(k.startswith("encoder.layers.") and "self_attention.query_key_value"
+           in k for k in keys):
+        return "kolors_text_encoder"
+    if any(k.startswith("transformer_blocks.") and "attn1.norm_q" in k
+           for k in keys):
+        return "qwen_image_dit"
+    if any(".mix_factor" in k for k in keys):
+        return "svd_unet"
+    if any(k.startswith("input_blocks.") or k.startswith(
+            "model.diffusion_model.input_blocks.") for k in keys):
+        return "sd_unet"
+    if any(k.startswith("wav2vec2.") or k.startswith(
+            "feature_extractor.conv_layers.") for k in keys):
+        return "wav2vec"
     if "casual_audio_encoder.weights" in sd:
         return "s2v"
     if any(k.startswith("face_adapter.") or k.startswith("pose_patch_embedding.")
