@@ -59,3 +59,28 @@ def test_pipeline_denoise_under_sharding():
                    num_inference_steps=2, cfg_scale=1.0, tiled=False,
                    return_latents=True)
     assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
+
+
+def test_ring_attention_matches_full():
+    """Ring attention (parallel/ring.py) == plain sdpa on an 8-way
+    sequence-sharded mesh."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from video_styler_tpu.parallel.ring import ring_attention
+    from video_styler_tpu.ops.attention import sdpa
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("sp",))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 64, 3, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 3, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 3, 16)), jnp.float32)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(ring_attention(q, k, v, mesh, axis="sp"))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # jit + odd head count (Ulysses can't shard 3 heads over 8 devices)
+    f = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh, axis="sp"))
+    np.testing.assert_allclose(np.asarray(f(q, k, v)), want, rtol=2e-5,
+                               atol=2e-5)
