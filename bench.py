@@ -76,9 +76,22 @@ def bench_dit_block_14b(seq_tokens: int):
     one_ms = _time(lambda: fwd1(params1, lat, ts, ctx))
     block_ms = (total_ms - one_ms) / (n_layers - 1)
     overhead_ms = max(one_ms - block_ms, 0.0)
-    del params, params1
+
+    # int8-quantized block (the baseline's fp8 trick, TPU-style): same
+    # solve with quantized linears
+    from video_styler_tpu.ops.quant import quantize_params
+
+    def pred(path, leaf):
+        return not any(k in path for k in ("head", "modulation",
+                                           "time_embedding"))
+    qp = quantize_params(params, predicate=pred)
+    qp1 = quantize_params(params1, predicate=pred)
+    q_total_ms = _time(lambda: fwd(qp, lat, ts, ctx))
+    q_one_ms = _time(lambda: fwd1(qp1, lat, ts, ctx))
+    q_block_ms = (q_total_ms - q_one_ms) / (n_layers - 1)
+    del params, params1, qp, qp1
     gc.collect()
-    return block_ms, overhead_ms, total_ms
+    return block_ms, overhead_ms, total_ms, q_block_ms
 
 
 def bench_t5():
@@ -177,10 +190,11 @@ def main():
     extra = {"device": device}
 
     seq = 19 * 30 * 52  # 29,640 tokens (73f 480x832 after (1,2,2) patchify)
-    _log("stage 1/4: 14B-dim DiT block")
-    block_ms, overhead_ms, meas4_ms = bench_dit_block_14b(seq)
-    _log(f"block_ms={block_ms:.1f}")
+    _log("stage 1/4: 14B-dim DiT block (bf16 + int8)")
+    block_ms, overhead_ms, meas4_ms, q_block_ms = bench_dit_block_14b(seq)
+    _log(f"block_ms={block_ms:.1f} int8_block_ms={q_block_ms:.1f}")
     extra["dit14b_block_ms"] = round(block_ms, 2)
+    extra["dit14b_block_ms_int8"] = round(q_block_ms, 2)
     extra["dit14b_embed_head_overhead_ms"] = round(overhead_ms, 2)
 
     _log("stage 2/4: umT5-xxl encode")
@@ -213,6 +227,11 @@ def main():
     denoise_s = 50 * 2 * step_branch_s
     video_s = denoise_s + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3
     extra["ditto14b_projected_denoise_s_v5e"] = round(denoise_s, 1)
+
+    # int8 projection — like-for-like with the fp8 baseline path
+    q_denoise_s = 50 * 2 * ((40 + 8) * q_block_ms + overhead_ms) / 1e3
+    q_video_s = q_denoise_s + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3
+    extra["ditto14b_projected_video_s_1xv5e_int8"] = round(q_video_s, 1)
 
     # v5p-8 target projection (BASELINE.md north-star hardware): 8 chips,
     # v5p ~459 bf16 TF/s vs v5e ~197; sequence-parallel denoise scales the

@@ -74,8 +74,9 @@ def test_clip_score_cosine():
 
 
 def test_metric_registry():
-    with pytest.raises(NotImplementedError):
-        get_metric("pickscore")
+    # all six metrics are registered now (pickscore needs params)
+    with pytest.raises(TypeError):
+        get_metric("pickscore")   # requires params arg
     with pytest.raises(ValueError):
         get_metric("nope")
 

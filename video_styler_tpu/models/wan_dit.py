@@ -317,7 +317,8 @@ def unpatchify(x, grid: Tuple[int, int, int], patch_size: Tuple[int, int, int],
 def time_embed(params, cfg: WanDiTConfig, timestep):
     """timestep (B,) or (S,) -> (t, t_mod)."""
     emb = sinusoidal_embedding_1d(cfg.freq_dim, timestep.astype(jnp.float32))
-    emb = emb.astype(params["time_embedding"]["fc1"]["w"].dtype)
+    fc1 = params["time_embedding"]["fc1"]
+    emb = emb.astype(fc1["w"].dtype if "w" in fc1 else jnp.bfloat16)
     t = linear(params["time_embedding"]["fc2"],
                silu(linear(params["time_embedding"]["fc1"], emb)))
     t_mod = linear(params["time_projection"], silu(t))

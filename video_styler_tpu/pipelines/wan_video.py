@@ -212,7 +212,7 @@ class WanVideoPipeline:
         ComfyUI baseline runs the 14B fp8-quantized). Must run after LoRA
         merging. The output head and modulation tables stay high-precision."""
         from ..ops.quant import quantize_params
-        keep = ("head", "modulation")
+        keep = ("head", "modulation", "time_embedding")
 
         def pred(path, leaf):
             return not any(k in path for k in keep)
