@@ -13,3 +13,4 @@ from .cog_video import CogVideoPipeline
 from .step_video import StepVideoPipeline
 from .hunyuan_image import HunyuanImagePipeline
 from .omnigen_image import OmnigenImagePipeline
+from .pipeline_runner import SDVideoPipelineRunner

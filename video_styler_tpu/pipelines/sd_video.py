@@ -85,10 +85,13 @@ class SDVideoPipeline:
         num_inference_steps: int = 20,
         animatediff_batch_size: int = 16,
         animatediff_stride: int = 8,
+        smoother=None,
+        smoother_progress_ids: Optional[List[int]] = None,
         seed: Optional[int] = None,
         progress_bar_cmd=None,
         return_latents: bool = False,
     ):
+        smoother_progress_ids = smoother_progress_ids or []
         self.scheduler.set_timesteps(num_inference_steps,
                                      denoising_strength=denoising_strength)
         noise = jnp.asarray(generate_noise(
@@ -153,12 +156,34 @@ class SDVideoPipeline:
                 eps = eps_nega + cfg_scale * (eps_posi - eps_nega)
             else:
                 eps = eps_posi
+            # mid-loop smoothing (sd_video.py:249-256): render to x0, smooth
+            # in pixel space, re-encode, convert back to an eps target
+            if smoother is not None and i in smoother_progress_ids:
+                rendered = self.scheduler.step(
+                    np.asarray(eps, np.float32), t,
+                    np.asarray(latents, np.float32), to_final=True)
+                frames = self._decode_frames(jnp.asarray(rendered, self.dtype))
+                frames = smoother(frames, original_frames=input_frames)
+                target = SD.sd_vae_encoder_forward(
+                    self.vae_encoder_params,
+                    jnp.asarray(_preprocess_images(frames)[0].transpose(
+                        1, 0, 2, 3), self.dtype))
+                eps = jnp.asarray(self.scheduler.return_to_timestep(
+                    t, np.asarray(latents, np.float32),
+                    np.asarray(target, np.float32)), self.dtype)
             latents = jnp.asarray(self.scheduler.step(
                 np.asarray(eps, np.float32), t,
                 np.asarray(latents, np.float32)), self.dtype)
 
         if return_latents:
             return latents
+        frames = self._decode_frames(latents)
+        if smoother is not None and (num_inference_steps in smoother_progress_ids
+                                     or -1 in smoother_progress_ids):
+            frames = smoother(frames, original_frames=input_frames)
+        return frames
+
+    def _decode_frames(self, latents):
         frames_out = SD.sd_vae_decoder_forward(self.vae_decoder_params, latents)
         arr = np.asarray(frames_out, np.float32).transpose(0, 2, 3, 1)
         arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
