@@ -178,3 +178,60 @@ def _ref_dit_forward_with_ip(dit, kw, ip_kwargs):
     hidden_states = dit.final_norm_out(hidden_states, conditioning)
     hidden_states = dit.final_proj_out(hidden_states)
     return dit.unpatchify(hidden_states, height, width)
+
+
+def test_flux_eligen_entity_parity():
+    """Entity bias + masked forward vs the reference process_entity_masks
+    composition (flux_dit.py:290-345)."""
+    import torch
+    dit = __import__("test_flux_parity").__dict__["_tiny_ref_dit"]()
+    dparams = convert_flux_dit(dit.state_dict(), D, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 16, 8, 8)).astype(np.float32)
+    t = np.asarray([500.0], np.float32)
+    prompt = rng.standard_normal((1, 6, D.context_dim)).astype(np.float32)
+    ents = rng.standard_normal((1, 2, 6, D.context_dim)).astype(np.float32)
+    masks = np.zeros((1, 2, 1, 8, 8), np.float32)
+    masks[0, 0, :, :4] = 1.0
+    masks[0, 1, :, 4:, 4:] = 1.0
+
+    tx = torch.from_numpy(x)
+    with torch.no_grad():
+        image_ids = dit.prepare_image_ids(tx)
+        text_ids = torch.zeros(1, 6, 3)
+        cond = (dit.time_embedder(torch.from_numpy(t), tx.dtype)
+                + dit.pooled_text_embedder(torch.from_numpy(
+                    rng.standard_normal((1, D.pooled_dim)).astype(np.float32)
+                    * 0)))
+        cond = cond + dit.guidance_embedder(torch.tensor([3500.0]), tx.dtype)
+        hid = dit.x_embedder(dit.patchify(tx))
+        pe, rot, amask = dit.process_entity_masks(
+            hid, torch.from_numpy(prompt), torch.from_numpy(ents),
+            torch.from_numpy(masks), text_ids, image_ids, 16)
+        h = hid
+        for block in dit.blocks:
+            h, pe_ = block(h, pe, cond, rot, amask)
+            pe = pe_
+        h = torch.cat([pe, h], dim=1)
+        for block in dit.single_blocks:
+            h, pe = block(h, pe, cond, rot, amask)
+        h = h[:, pe.shape[1]:]
+        h = dit.final_norm_out(h, cond)
+        h = dit.final_proj_out(h)
+        want = dit.unpatchify(h, 8, 8).numpy()
+
+    # ours: concat [entities | global] prompts, build the additive bias
+    prompt_cat = np.concatenate([ents[:, 0], ents[:, 1], prompt], axis=1)
+    bias = F.build_entity_attention_bias if False else None
+    from video_styler_tpu.models.flux_dit import (build_entity_attention_bias,
+                                                  flux_dit_forward)
+    bias = build_entity_attention_bias(masks, 6, 16)
+    np.testing.assert_allclose(
+        np.where(np.isinf(bias), 1.0, 0.0),
+        np.where(np.isinf(amask.numpy()), 1.0, 0.0))
+    got = np.asarray(flux_dit_forward(
+        dparams, D, jnp.asarray(x), jnp.asarray(t), jnp.asarray(prompt_cat),
+        jnp.zeros((1, D.pooled_dim), jnp.float32), jnp.asarray([3.5]),
+        attn_bias=jnp.asarray(bias)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)

@@ -206,3 +206,17 @@ def test_flux_ipadapter_conditions_output():
              return_latents=True)
     assert bool(jnp.isfinite(a).all())
     assert float(jnp.abs(a - b).mean()) > 1e-6
+
+
+def test_flux_eligen_conditions_output():
+    pipe = _tiny_pipe()
+    img = Image.fromarray(np.zeros((32, 32), np.uint8))
+    mask = Image.fromarray(
+        (np.arange(32)[:, None] < 16).astype(np.uint8) * 255)
+    a = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             eligen_entity_prompts=["red hat"], eligen_entity_masks=[mask],
+             return_latents=True)
+    b = pipe("a cat", height=32, width=32, seed=0, num_inference_steps=2,
+             return_latents=True)
+    assert bool(jnp.isfinite(a).all())
+    assert float(jnp.abs(a - b).mean()) > 1e-6

@@ -221,7 +221,7 @@ def _interact_ipadapter(out, q, ip_k, ip_v, scale):
 
 
 def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig,
-                ip_k=None, ip_v=None, ip_scale=1.0):
+                ip_k=None, ip_v=None, ip_scale=1.0, attn_bias=None):
     """FluxJointTransformerBlock.forward (flux_dit.py:131-149). The RoPE
     table covers the concatenated [text | image] sequence. ip_k/ip_v
     (B, T_ip, N, D) add IP-Adapter attention on the image stream, queried
@@ -244,7 +244,11 @@ def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig,
     v = jnp.concatenate([v_b, v_a], axis=1)
     q = rope_apply_interleaved(q, cos, sin)
     k = rope_apply_interleaved(k, cos, sin)
-    out = attention(q, k, v)
+    if attn_bias is not None:
+        from ..ops.attention import sdpa as _sdpa
+        out = _sdpa(q, k, v, bias=attn_bias)
+    else:
+        out = attention(q, k, v)
     out = out.reshape(out.shape[0], out.shape[1], cfg.dim)
     s_b = x_b.shape[1]
     out_b, out_a = out[:, :s_b], out[:, s_b:]
@@ -262,7 +266,7 @@ def joint_block(p, x_a, x_b, temb, cos, sin, cfg: FluxDiTConfig,
 
 
 def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
-                 ip_k=None, ip_v=None, ip_scale=1.0):
+                 ip_k=None, ip_v=None, ip_scale=1.0, attn_bias=None):
     """FluxSingleTransformerBlock.forward (flux_dit.py:208-253). The
     IP-Adapter query here is the post-RoPE q over the full [text | image]
     sequence (flux_dit.py:229-243)."""
@@ -275,7 +279,12 @@ def single_block(p, x, temb, cos, sin, cfg: FluxDiTConfig,
     k = _rms(p["norm_k_a"], k, cfg.eps)
     q = rope_apply_interleaved(q, cos, sin)
     k = rope_apply_interleaved(k, cos, sin)
-    out = attention(q, k, v).reshape(x.shape[0], x.shape[1], cfg.dim)
+    if attn_bias is not None:
+        from ..ops.attention import sdpa as _sdpa
+        out = _sdpa(q, k, v, bias=attn_bias)
+    else:
+        out = attention(q, k, v)
+    out = out.reshape(x.shape[0], x.shape[1], cfg.dim)
     if ip_k is not None:
         out = _interact_ipadapter(out, q, ip_k, ip_v, ip_scale)
     h = jnp.concatenate([out, gelu_tanh(mlp)], axis=-1)
@@ -296,7 +305,7 @@ def flux_dit_forward(params, cfg: FluxDiTConfig, hidden_states, timestep,
                      image_ids=None, text_ids=None, kontext_latents=None,
                      kontext_ids=None, remat: bool = False,
                      controlnet_res=None, controlnet_single_res=None,
-                     ip_kv=None, ip_scale=1.0):
+                     ip_kv=None, ip_scale=1.0, attn_bias=None):
     """FluxDiT.forward (flux_dit.py:404-473).
 
     hidden_states: (B, 16, H, W) latents; prompt_emb: (B, L, context_dim);
@@ -313,7 +322,7 @@ def flux_dit_forward(params, cfg: FluxDiTConfig, hidden_states, timestep,
     h = flux_trunk(params, cfg, x, ctx, temb, cos, sin, remat=remat,
                    controlnet_res=controlnet_res,
                    controlnet_single_res=controlnet_single_res,
-                   ip_kv=ip_kv, ip_scale=ip_scale)
+                   ip_kv=ip_kv, ip_scale=ip_scale, attn_bias=attn_bias)
     height, width = hidden_states.shape[-2:]
     return flux_head(params, cfg, h[:, :n_img], temb, height, width)
 
@@ -356,7 +365,8 @@ def flux_embed(params, cfg: FluxDiTConfig, hidden_states, timestep,
 
 def flux_trunk(params, cfg: FluxDiTConfig, x, ctx, temb, cos, sin,
                remat: bool = False, controlnet_res=None,
-               controlnet_single_res=None, ip_kv=None, ip_scale=1.0):
+               controlnet_single_res=None, ip_kv=None, ip_scale=1.0,
+               attn_bias=None):
     """Joint + single block stacks -> image(+kontext) tokens post-trunk.
 
     controlnet_res: (num_joint, B, n_img, D) per-block residuals added to
@@ -376,7 +386,8 @@ def flux_trunk(params, cfg: FluxDiTConfig, x, ctx, temb, cos, sin,
 
     def joint_body(a, b, layer_p, res, ipk, ipv):
         a, b = joint_block(layer_p, a, b, temb, cos, sin, cfg,
-                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale)
+                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale,
+                           attn_bias=attn_bias)
         if res is not None:
             a = a + res.astype(a.dtype)
         return a, b
@@ -399,7 +410,8 @@ def flux_trunk(params, cfg: FluxDiTConfig, x, ctx, temb, cos, sin,
 
     def single_body(carry, layer_p, res, ipk, ipv):
         out = single_block(layer_p, carry, temb, cos, sin, cfg,
-                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale)
+                           ip_k=ipk, ip_v=ipv, ip_scale=ip_scale,
+                           attn_bias=attn_bias)
         if res is not None:
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, (out[:, s_ctx:s_ctx + res.shape[1]]
@@ -580,3 +592,47 @@ def rename_civitai_flux(sd):
                 which = "q" if "query" in rest else "k"
                 out[f"single_blocks.{i}.norm_{which}_a.weight"] = v
     return out
+
+
+def build_entity_attention_bias(entity_masks: np.ndarray, prompt_len: int,
+                                n_img: int) -> np.ndarray:
+    """EliGen attention bias (FluxDiT.construct_mask, flux_dit.py:290-322).
+
+    entity_masks: (B, N, 1, H_lat, W_lat) {0,1} host numpy (latent-pixel
+    resolution). The layout is [entity_1 text | ... | entity_N text |
+    global text | image]: each entity's text attends only its own image
+    region (bidirectionally), entity texts don't cross-attend, the global
+    text and image-image attention stay dense. Returns (B, 1, S, S) float32
+    additive bias (0 / -inf)."""
+    b, n_ent = entity_masks.shape[:2]
+    n = n_ent + 1                       # + global
+    total = n * prompt_len + n_img
+    bias = np.zeros((b, total, total), np.float32)
+    img0 = n * prompt_len
+
+    # patchify each mask to one bool per image token (2x2 patch any-hit)
+    m = entity_masks[:, :, 0]
+    hh, ww = m.shape[-2:]
+    patched = m.reshape(b, n_ent, hh // 2, 2, ww // 2, 2).max(axis=(3, 5))
+    patched = patched.reshape(b, n_ent, -1) > 0          # (B, N, n_img)
+
+    neg = np.float32(-np.inf)
+    for i in range(n_ent):
+        t0, t1 = i * prompt_len, (i + 1) * prompt_len
+        blocked = ~patched[:, i]                          # (B, n_img)
+        bias[:, t0:t1, img0:img0 + n_img] = np.where(
+            blocked[:, None, :], neg, 0.0)
+        bias[:, img0:img0 + n_img, t0:t1] = np.where(
+            blocked[:, :, None], neg, 0.0)
+    for i in range(n_ent + 1):
+        for j in range(n_ent):
+            if i != j:
+                bias[:, i * prompt_len:(i + 1) * prompt_len,
+                     j * prompt_len:(j + 1) * prompt_len] = neg
+    # global text row/col stays open to image and itself; entity texts must
+    # not see the global text either (i != j above covers j<N; global col
+    # handled here)
+    for i in range(n_ent):
+        bias[:, i * prompt_len:(i + 1) * prompt_len,
+             n_ent * prompt_len:img0] = neg
+    return bias[:, None]

@@ -204,7 +204,8 @@ class FluxImagePipeline:
 
         def full(params, latents, timestep, prompt_emb, pooled, guidance,
                  kontext_latents=None, controlnet_res=None,
-                 controlnet_single_res=None, ip_kv=None, ip_scale=1.0):
+                 controlnet_single_res=None, ip_kv=None, ip_scale=1.0,
+                 attn_bias=None):
             x, ctx, temb, cos, sin, n_img = F.flux_embed(
                 params, cfg, latents, timestep, prompt_emb, pooled, guidance,
                 text_ids=ti, kontext_latents=kontext_latents,
@@ -213,7 +214,8 @@ class FluxImagePipeline:
             h = F.flux_trunk(params, cfg, x, ctx, temb, cos, sin,
                              controlnet_res=controlnet_res,
                              controlnet_single_res=controlnet_single_res,
-                             ip_kv=ip_kv, ip_scale=ip_scale)
+                             ip_kv=ip_kv, ip_scale=ip_scale,
+                             attn_bias=attn_bias)
             residual = h - x
             height, width = latents.shape[-2:]
             v = F.flux_head(params, cfg, h[:, :n_img], temb, height, width)
@@ -277,7 +279,7 @@ class FluxImagePipeline:
 
     def _branch(self, latents, timestep, prompt_emb, pooled, guidance,
                 kontext, tea_cache, cn=None, ip_kv=None, ip_scale=1.0,
-                text_ids=None):
+                text_ids=None, attn_bias=None):
         kl, ki = (kontext if kontext is not None else (None, None))
         full, skip, modulated_only = self._model_fns(ki, text_ids)
         args = (self.dit_params, latents, timestep, prompt_emb, pooled,
@@ -287,7 +289,8 @@ class FluxImagePipeline:
             if tea_cache.check(mod) and tea_cache.previous_residual is not None:
                 return skip(*args, tea_cache.previous_residual, kl)
         cn_res, cn_single = cn if cn is not None else (None, None)
-        v, residual, _ = full(*args, kl, cn_res, cn_single, ip_kv, ip_scale)
+        v, residual, _ = full(*args, kl, cn_res, cn_single, ip_kv, ip_scale,
+                              attn_bias)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -309,6 +312,8 @@ class FluxImagePipeline:
         sigma_shift: Optional[float] = None,
         num_inference_steps: int = 30,
         kontext_images=None,
+        eligen_entity_prompts=None,
+        eligen_entity_masks=None,
         nexus_gen_reference_image=None,
         controlnet_image=None,
         controlnet_scale: float = 1.0,
@@ -341,6 +346,26 @@ class FluxImagePipeline:
         nega = None
         if cfg_scale != 1.0:
             nega = self.encode_prompt(negative_prompt, t5_sequence_length)
+
+        # EliGen entity control (FluxImageUnit_EntityControl,
+        # flux_image_new.py:734-793): per-entity prompts attend only their
+        # mask region; layout [entities... | global | image]
+        attn_bias = None
+        if eligen_entity_prompts and eligen_entity_masks:
+            from PIL import Image as _Image
+            embs = [self.encode_prompt(p, t5_sequence_length)[0]
+                    for p in eligen_entity_prompts]
+            prompt_emb = jnp.concatenate(embs + [prompt_emb], axis=1)
+            masks = []
+            for m in eligen_entity_masks:
+                arr = np.asarray(m.convert("L").resize(
+                    (width // 8, height // 8), _Image.NEAREST),
+                    np.float32) > 127
+                masks.append(arr.astype(np.float32))
+            masks_np = np.stack(masks)[None, :, None]     # (1, N, 1, h, w)
+            n_img = (height // 16) * (width // 16)
+            attn_bias = jnp.asarray(F.build_entity_attention_bias(
+                masks_np, embs[0].shape[1], n_img))
 
         # NexusGen AR conditioning replaces prompt_emb (+ custom text ids)
         text_ids = None
@@ -427,7 +452,8 @@ class FluxImagePipeline:
                                           controlnet_scale)
             v = self._branch(latents, timestep, prompt_emb, pooled, guidance,
                              kontext, tea_cache, cn=cn, ip_kv=ip_posi,
-                             ip_scale=ipadapter_scale, text_ids=text_ids)
+                             ip_scale=ipadapter_scale, text_ids=text_ids,
+                             attn_bias=attn_bias)
             if cfg_scale != 1.0:
                 cn_n = None
                 if cn_cond is not None:
