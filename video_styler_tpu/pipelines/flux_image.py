@@ -84,6 +84,11 @@ class FluxImagePipeline:
         self.nexus_gen = None                   # callable(prompt, ref_image)
         self.nexus_gen_generation_adapter = None
         self.nexus_gen_editing_adapter = None   # (params, MergerConfig)
+        # Step1x edit (FluxImageUnit_Step1x, flux_image_new.py:860-880):
+        # qwenvl = callable(captions, ref_images) -> (embs, masks) host numpy
+        self.qwenvl = None
+        self.step1x_connector_params = None
+        self.step1x_connector_cfg = None
         self.ipadapter_params = None
         # callable(list[PIL 384x384]) -> (B, 1152) SigLIP pooled embedding
         self.ipadapter_image_encoder = None
@@ -315,6 +320,10 @@ class FluxImagePipeline:
         eligen_entity_prompts=None,
         eligen_entity_masks=None,
         nexus_gen_reference_image=None,
+        step1x_reference_image=None,
+        flex_condition=None,
+        flex_uncondition=None,
+        flex_control_stop_timestep: float = 0.0,
         controlnet_image=None,
         controlnet_scale: float = 1.0,
         controlnet_processor_id: Optional[int] = None,
@@ -434,6 +443,23 @@ class FluxImagePipeline:
                                                  jnp.zeros_like(emb))
                 ip_nega = (k0, v0)
 
+        # Step1x edit (model_fn, flux_image_new.py:1205-1208 + :1227-1233):
+        # Qwen2.5-VL features -> per-step connector conditioning; the
+        # reference image rides the kontext token path with f_id=0 ids
+        step1x = None
+        if step1x_reference_image is not None and self.qwenvl is not None:
+            embs, masks = self.qwenvl([prompt], [step1x_reference_image])
+            arr = _preprocess_images(
+                [step1x_reference_image.resize((width, height))])[:, :, 0]
+            ref_z = self.encode_image(arr)
+            k_ids = F.prepare_image_ids(0, ref_z.shape[2] // 2,
+                                        ref_z.shape[3] // 2)
+            kontext = (F.patchify(ref_z), np.asarray(k_ids)) if kontext is None \
+                else (jnp.concatenate([kontext[0], F.patchify(ref_z)], axis=1),
+                      np.concatenate([kontext[1], np.asarray(k_ids)], axis=0))
+            step1x = (jnp.asarray(embs[0:1], self.dtype),
+                      jnp.asarray(masks[0:1]))
+
         tea_cache = None
         if tea_cache_l1_thresh is not None:
             tea_cache = FluxTeaCache(num_inference_steps, tea_cache_l1_thresh)
@@ -444,24 +470,37 @@ class FluxImagePipeline:
         for i in steps:
             t_host = float(self.scheduler.timesteps[i])
             timestep = jnp.asarray([t_host], jnp.float32)
+            if step1x is not None:
+                from ..models import step1x as S1
+                prompt_emb, pooled = S1.step1x_connector_forward(
+                    self.step1x_connector_params,
+                    self.step1x_connector_cfg or S1.STEP1X_CONNECTOR,
+                    step1x[0], timestep / 1000.0, step1x[1])
+                text_ids = np.zeros((prompt_emb.shape[1], 3), np.float64)
+            lat_in = latents
+            if flex_condition is not None:
+                flex = (flex_condition if t_host >= flex_control_stop_timestep
+                        else flex_uncondition)
+                lat_in = jnp.concatenate(
+                    [latents, jnp.asarray(flex, self.dtype)], axis=1)
             cn = None
             if cn_cond is not None:
-                cn = self._controlnet_res(latents, cn_cond, timestep,
+                cn = self._controlnet_res(lat_in, cn_cond, timestep,
                                           prompt_emb, pooled, guidance,
                                           controlnet_processor_id,
                                           controlnet_scale)
-            v = self._branch(latents, timestep, prompt_emb, pooled, guidance,
+            v = self._branch(lat_in, timestep, prompt_emb, pooled, guidance,
                              kontext, tea_cache, cn=cn, ip_kv=ip_posi,
                              ip_scale=ipadapter_scale, text_ids=text_ids,
                              attn_bias=attn_bias)
             if cfg_scale != 1.0:
                 cn_n = None
                 if cn_cond is not None:
-                    cn_n = self._controlnet_res(latents, cn_cond, timestep,
+                    cn_n = self._controlnet_res(lat_in, cn_cond, timestep,
                                                 nega[0], nega[1], guidance,
                                                 controlnet_processor_id,
                                                 controlnet_scale)
-                v_nega = self._branch(latents, timestep, nega[0], nega[1],
+                v_nega = self._branch(lat_in, timestep, nega[0], nega[1],
                                       guidance, kontext, None, cn=cn_n,
                                       ip_kv=ip_nega, ip_scale=1.0)
                 v = v_nega + cfg_scale * (v - v_nega)
