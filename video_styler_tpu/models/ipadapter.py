@@ -41,15 +41,21 @@ def image_proj(p, image_embeds, extra_tokens: int):
 
 
 def ipadapter_kwargs(params, image_embeds, scale: float = 1.0,
-                     xl: bool = False, extra_tokens: int = 4) -> Dict:
+                     xl: bool = False, extra_tokens: int = 4,
+                     instant_style: bool = False) -> Dict:
     """-> {block_id: {transformer_id: (ip_k, ip_v, scale)}} consumed by
     sd_unet_forward / sdxl_unet_forward (SDIpAdapter.forward,
-    sd_ipadapter.py:33-47)."""
+    sd_ipadapter.py:33-47). instant_style keeps only the style blocks —
+    SDXLIpAdapter.set_less_adapter (sdxl_ipadapter.py:67-82) restricts the
+    map to modules 34..43 (UNet block 28's ten transformers)."""
     tokens = image_proj(params["image_proj"], image_embeds, extra_tokens)
     tokens = tokens.reshape(1, -1, tokens.shape[-1])
     out: Dict = {}
     if xl:
         mapping = {site: j for j, site in enumerate(SDXL_IPADAPTER_MAP)}
+        if instant_style:
+            mapping = {site: j for site, j in mapping.items()
+                       if 34 <= j < 44}
         for (block_id, transformer_id), j in mapping.items():
             m = params["ipadapter_modules"][str(j)]
             out.setdefault(block_id, {})[transformer_id] = (

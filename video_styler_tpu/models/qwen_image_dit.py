@@ -274,14 +274,17 @@ def qwen_image_dit_forward(params, cfg: QwenImageDiTConfig, latents, timestep,
                            prompt_emb, txt_seq_len: Optional[int] = None,
                            extra_latents: Optional[list] = None,
                            attn_bias=None, frame_offsets=None,
-                           remat: bool = False):
+                           blockwise_cn=None, remat: bool = False):
     """QwenImageDiT.forward + model_fn_qwen_image
     (qwen_image_dit.py:502-534, pipelines/qwen_image.py:780-861).
 
     latents: (B, 16, H, W); timestep: (B,) already divided by 1000 in the
     pipeline; prompt_emb: (B, L, text_dim). extra_latents: list of extra
     (B, 16, h, w) images (edit/context) appended as additional RoPE frames
-    and dropped from the output.
+    and dropped from the output. blockwise_cn: optional
+    (stacked_cn_blocks, cond_tokens (B, n_img, dim), scale) — the per-layer
+    block-wise ControlNet residual rides the same scan
+    (pipelines/qwen_image.py:844-852).
     """
     from .flux_dit import timestep_embedding_flux
     dtype = latents.dtype
@@ -323,8 +326,29 @@ def qwen_image_dit_forward(params, cfg: QwenImageDiTConfig, latents, timestep,
         a, b = fn(bp, a, b, temb, img_cs, txt_cs, cfg, attn_bias)
         return (a, b), None
 
-    (img, txt), _ = jax.lax.scan(scan_fn, (img, txt),
-                                 params["transformer_blocks"])
+    if blockwise_cn is None:
+        (img, txt), _ = jax.lax.scan(scan_fn, (img, txt),
+                                     params["transformer_blocks"])
+    else:
+        from .qwen_image_controlnet import qwen_blockwise_cn_block
+        conds = [c for _, c, _ in blockwise_cn]
+        scales = [s for _, _, s in blockwise_cn]
+
+        def scan_fn_cn(carry, xs):
+            bp, cps = xs
+            (a, b), _ = scan_fn(carry, bp)
+            sl = jax.lax.dynamic_slice_in_dim(a, 0, n_img, axis=1)
+            acc = sl
+            for cp, cond, scale in zip(cps, conds, scales):
+                res = qwen_blockwise_cn_block(cp, sl, cond.astype(sl.dtype),
+                                              cfg.eps)
+                acc = acc + res * jnp.asarray(scale, res.dtype)
+            a = jax.lax.dynamic_update_slice_in_dim(a, acc, 0, axis=1)
+            return (a, b), None
+
+        (img, txt), _ = jax.lax.scan(
+            scan_fn_cn, (img, txt),
+            (params["transformer_blocks"], [b for b, _, _ in blockwise_cn]))
 
     sc, sh = jnp.split(linear(params["norm_out"]["linear"],
                               silu(temb))[:, None, :], 2, axis=-1)

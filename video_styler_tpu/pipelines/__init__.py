@@ -3,6 +3,7 @@ from .wan_video_editor import WanVideoEditorPipeline
 from .wan_enhancer import WanEnhancerPipeline
 from .sd_image import SDImagePipeline
 from .sdxl_image import SDXLImagePipeline
+from .sdxl_video import SDXLVideoPipeline
 from .flux_image import FluxImagePipeline
 from .sd3_image import SD3ImagePipeline
 from .hunyuan_video import HunyuanVideoPipeline

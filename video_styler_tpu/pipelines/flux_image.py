@@ -92,6 +92,16 @@ class FluxImagePipeline:
         self.ipadapter_params = None
         # callable(list[PIL 384x384]) -> (B, 1152) SigLIP pooled embedding
         self.ipadapter_image_encoder = None
+        # InfiniteYou (FluxImageUnit_InfiniteYou, flux_image_new.py:909-921):
+        # Perceiver projector + optional host face embedder
+        # callable(PIL) -> (n, 512) ArcFace embedding
+        self.infiniteyou_projector_params = None
+        self.infiniteyou_face_embedder = None
+        # Value controllers (FluxImageUnit_ValueControl, :925-952): list of
+        # SingleValueEncoder pytrees, one per controlled value
+        self.value_controller_params = None
+        # FLUX LoRA encoder (FluxImageUnit_LoRAEncode, :1006-1062)
+        self.lora_encoder_params = None
         self._jit_cache = {}
 
     # ---------------- loading ----------------
@@ -162,6 +172,35 @@ class FluxImagePipeline:
         if image_encoder is not None:
             self.ipadapter_image_encoder = image_encoder
         self._jit_cache.clear()
+
+    def load_infiniteyou(self, path=None, state_dict=None):
+        """Attach the InfiniteYou image projector. Accepts the published
+        bundle ({'image_proj': {...}} — from_diffusers,
+        flux_infiniteyou.py:123-129) or a flat projector state dict."""
+        from ..models import flux_adapters as FA
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        if "image_proj" in sd and not hasattr(sd["image_proj"], "shape"):
+            sd = sd["image_proj"]
+        self.infiniteyou_projector_params = FA.convert_infiniteyou_projector(
+            sd, dtype=self.dtype)
+
+    def load_value_controllers(self, paths=None, state_dicts=None):
+        """Attach SingleValueEncoders (one per controlled scalar)."""
+        from ..models import flux_adapters as FA
+        from ..utils import ckpt as C
+        sds = state_dicts if state_dicts is not None else [
+            C.load_state_dict(p) for p in paths]
+        self.value_controller_params = [
+            FA.convert_value_encoder(sd, dtype=self.dtype) for sd in sds]
+
+    def load_lora_encoder(self, path=None, state_dict=None):
+        """Attach the FLUX LoRA encoder (conditioning on a LoRA itself)."""
+        from ..models import flux_adapters as FA
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        self.lora_encoder_params = FA.convert_flux_lora_encoder(
+            sd, dtype=self.dtype)
 
     def load_lora(self, path=None, state_dict=None, alpha: float = 1.0):
         """Merge a FLUX LoRA into the DiT weights (any public key layout;
@@ -329,6 +368,12 @@ class FluxImagePipeline:
         controlnet_processor_id: Optional[int] = None,
         ipadapter_images=None,
         ipadapter_scale: float = 1.0,
+        infinityou_id_image=None,
+        infinityou_id_emb=None,
+        infinityou_guidance: float = 1.0,
+        value_controller_inputs=None,
+        lora_encoder_inputs=None,
+        lora_encoder_scale: float = 1.0,
         tea_cache_l1_thresh: Optional[float] = None,
         progress_bar_cmd=None,
         return_latents: bool = False,
@@ -355,6 +400,66 @@ class FluxImagePipeline:
         nega = None
         if cfg_scale != 1.0:
             nega = self.encode_prompt(negative_prompt, t5_sequence_length)
+
+        # Value control (FluxImageUnit_ValueControl, flux_image_new.py:925-952):
+        # scalar preferences become learned token blocks appended to BOTH cfg
+        # branches' text embeddings (zero position ids — the flux_embed
+        # default for appended tokens).
+        if (value_controller_inputs is not None
+                and self.value_controller_params is not None):
+            from ..models import flux_adapters as FA
+            if not isinstance(value_controller_inputs, list):
+                value_controller_inputs = [value_controller_inputs]
+            value_emb = FA.multi_value_encoder_forward(
+                self.value_controller_params, value_controller_inputs)[None]
+            value_emb = value_emb.astype(self.dtype)
+            prompt_emb = jnp.concatenate([prompt_emb, value_emb], axis=1)
+            if nega is not None:
+                nega = (jnp.concatenate([nega[0], value_emb], axis=1),
+                        nega[1], nega[2])
+
+        # LoRA encoding (FluxImageUnit_LoRAEncode, :1006-1062): the LoRA
+        # checkpoint itself becomes conditioning tokens on the positive
+        # branch only.
+        if (lora_encoder_inputs is not None
+                and self.lora_encoder_params is not None):
+            from ..models import flux_adapters as FA
+            from ..flux_lora import convert_flux_lora
+            from ..utils import ckpt as C
+            if not isinstance(lora_encoder_inputs, list):
+                lora_encoder_inputs = [lora_encoder_inputs]
+            lora_embs = []
+            for item in lora_encoder_inputs:
+                lora = item if isinstance(item, dict) \
+                    else C.load_state_dict(item)
+                lora = convert_flux_lora(lora)
+                lora_embs.append(FA.flux_lora_encoder_forward(
+                    self.lora_encoder_params, lora))
+            lora_emb = jnp.concatenate(lora_embs, axis=1) * lora_encoder_scale
+            prompt_emb = jnp.concatenate(
+                [prompt_emb, lora_emb.astype(self.dtype)], axis=1)
+
+        # InfiniteYou (FluxImageUnit_InfiniteYou :909-921 + model_fn
+        # :1190-1192): projected ArcFace identity replaces the ControlNet
+        # branch's prompt tokens and guidance.
+        iy = None
+        if self.infiniteyou_projector_params is not None and (
+                infinityou_id_image is not None
+                or infinityou_id_emb is not None):
+            from ..models import flux_adapters as FA
+            if infinityou_id_emb is None:
+                if self.infiniteyou_face_embedder is None:
+                    raise ValueError(
+                        "infinityou_id_image needs a face embedder "
+                        "(insightface/arcface); pass infinityou_id_emb "
+                        "instead for a precomputed identity")
+                infinityou_id_emb = self.infiniteyou_face_embedder(
+                    infinityou_id_image)
+            id_emb = FA.infiniteyou_projector_forward(
+                self.infiniteyou_projector_params,
+                jnp.asarray(np.asarray(infinityou_id_emb),
+                            self.dtype).reshape(1, -1, 512))
+            iy = (id_emb, jnp.asarray([infinityou_guidance], jnp.float32))
 
         # EliGen entity control (FluxImageUnit_EntityControl,
         # flux_image_new.py:734-793): per-entity prompts attend only their
@@ -485,8 +590,10 @@ class FluxImagePipeline:
                     [latents, jnp.asarray(flex, self.dtype)], axis=1)
             cn = None
             if cn_cond is not None:
+                cn_pe = prompt_emb if iy is None else iy[0]
+                cn_g = guidance if iy is None else iy[1]
                 cn = self._controlnet_res(lat_in, cn_cond, timestep,
-                                          prompt_emb, pooled, guidance,
+                                          cn_pe, pooled, cn_g,
                                           controlnet_processor_id,
                                           controlnet_scale)
             v = self._branch(lat_in, timestep, prompt_emb, pooled, guidance,
@@ -496,8 +603,10 @@ class FluxImagePipeline:
             if cfg_scale != 1.0:
                 cn_n = None
                 if cn_cond is not None:
+                    cn_pe_n = nega[0] if iy is None else iy[0]
+                    cn_g_n = guidance if iy is None else iy[1]
                     cn_n = self._controlnet_res(lat_in, cn_cond, timestep,
-                                                nega[0], nega[1], guidance,
+                                                cn_pe_n, nega[1], cn_g_n,
                                                 controlnet_processor_id,
                                                 controlnet_scale)
                 v_nega = self._branch(lat_in, timestep, nega[0], nega[1],

@@ -31,6 +31,21 @@ T2I_TEMPLATE = ("<|im_start|>system\nDescribe the image by detailing the "
 T2I_DROP_IDX = 34
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class ControlNetInput:
+    """Mirror of the reference ControlNetInput (flux_image_new.py:36-43)."""
+    controlnet_id: int = 0
+    scale: float = 1.0
+    start: float = 1.0
+    end: float = 0.0
+    image: object = None
+    inpaint_mask: object = None
+    processor_id: Optional[str] = None
+
+
 class QwenImagePipeline:
     """Public API mirrors the reference __call__ (qwen_image.py:355-450)."""
 
@@ -45,7 +60,20 @@ class QwenImagePipeline:
         self.vae_params = None
         self.vae_cfg = WAN21_VAE
         self.text_encoder = None        # callable(texts) -> (emb, mask)
+        # block-wise ControlNets (QwenImageBlockwiseMultiControlNet,
+        # qwen_image.py:23-45): list of converted pytrees, indexed by
+        # ControlNetInput.controlnet_id
+        self.blockwise_controlnets = None
         self._jit_cache = {}
+
+    def load_blockwise_controlnet(self, path=None, state_dict=None):
+        """Append a block-wise ControlNet (qwen_image_controlnet.py:30-61)."""
+        from ..models import qwen_image_controlnet as QC
+        from ..utils import ckpt as C
+        sd = state_dict if state_dict is not None else C.load_state_dict(path)
+        params = QC.convert_qwen_blockwise_controlnet(sd, dtype=self.dtype)
+        self.blockwise_controlnets = (self.blockwise_controlnets or []) + [params]
+        self._jit_cache.clear()
 
     @classmethod
     def from_pretrained(cls, dit_paths=None, vae_path=None, dtype=jnp.bfloat16):
@@ -154,10 +182,11 @@ class QwenImagePipeline:
         if key not in self._jit_cache:
             cfg = self.dit_cfg
             self._jit_cache[key] = jax.jit(
-                lambda p, lat, t, emb, extra, bias: D.qwen_image_dit_forward(
+                lambda p, lat, t, emb, extra, bias, bcn=None:
+                D.qwen_image_dit_forward(
                     p, cfg, lat, t, emb,
                     txt_seq_len=static.get("txt_seq_len"),
-                    extra_latents=extra, attn_bias=bias))
+                    extra_latents=extra, attn_bias=bias, blockwise_cn=bcn))
         return self._jit_cache[key]
 
     def __call__(
@@ -177,6 +206,7 @@ class QwenImagePipeline:
         eligen_entity_masks: Optional[List] = None,
         edit_image=None,
         context_image=None,
+        blockwise_controlnet_inputs: Optional[List[ControlNetInput]] = None,
         progress_bar_cmd=None,
         return_latents: bool = False,
     ):
@@ -224,6 +254,36 @@ class QwenImagePipeline:
                 [context_image.resize((width, height))])[:, :, 0]))
         extra = extra or None
 
+        # Block-wise ControlNet conditioning
+        # (QwenImageUnit_BlockwiseControlNet, qwen_image.py:674-713):
+        # VAE-encode each control image (inpaint variant zeroes the masked
+        # pixels, then appends the downsampled inverse mask as an extra
+        # latent channel), patchify + img_in once up front.
+        bcn_static = None
+        if blockwise_controlnet_inputs:
+            from ..models import qwen_image_controlnet as QC
+            from PIL import Image as _Image
+            bcn_static = []
+            for ci in blockwise_controlnet_inputs:
+                img = ci.image.resize((width, height))
+                if ci.inpaint_mask is not None:
+                    m = np.asarray(ci.inpaint_mask.convert("L").resize(
+                        (width, height)), np.float32) / 255.0
+                    arr = np.array(img)
+                    arr[m > 0.5] = 0
+                    img = _Image.fromarray(arr)
+                cond_lat = self.encode_image(
+                    _preprocess_images([img])[:, :, 0])
+                if ci.inpaint_mask is not None:
+                    m8 = np.asarray(ci.inpaint_mask.convert("L").resize(
+                        (width // 8, height // 8)), np.float32) / 255.0
+                    cond_lat = jnp.concatenate(
+                        [cond_lat, jnp.asarray(1.0 - m8, cond_lat.dtype)[
+                            None, None]], axis=1)
+                cn_params = self.blockwise_controlnets[ci.controlnet_id]
+                cond = QC.qwen_blockwise_cn_process(cn_params, cond_lat)
+                bcn_static.append((cn_params["blocks"], cond, ci))
+
         # EliGen
         bias = None
         txt_len_posi = posi_emb.shape[1]
@@ -246,13 +306,26 @@ class QwenImagePipeline:
         steps = range(len(self.scheduler.timesteps))
         if progress_bar_cmd is not None:
             steps = progress_bar_cmd(steps)
+        n_steps = len(self.scheduler.timesteps)
         for i in steps:
             t_host = float(self.scheduler.timesteps[i])
             t = jnp.asarray([t_host / 1000.0], jnp.float32)
-            v = fwd_posi(self.dit_params, latents, t, posi_emb, extra, bias)
+            bcn = None
+            if bcn_static is not None:
+                # start/end progress gating (blockwise_forward,
+                # qwen_image.py:37-45): inactive inputs get scale 0 so the
+                # jitted graph is step-invariant
+                progress = (n_steps - 1 - i) / max(n_steps - 1, 1)
+                bcn = [(blocks, cond,
+                        jnp.asarray(ci.scale if (ci.start + 1e-4 >= progress
+                                                 >= ci.end - 1e-4) else 0.0,
+                                    jnp.float32))
+                       for blocks, cond, ci in bcn_static]
+            v = fwd_posi(self.dit_params, latents, t, posi_emb, extra, bias,
+                         bcn)
             if fwd_nega is not None:
                 v_nega = fwd_nega(self.dit_params, latents, t, nega[0],
-                                  extra, None)
+                                  extra, None, bcn)
                 v = v_nega + cfg_scale * (v - v_nega)
             sigma, sigma_next = self.scheduler.sigma_pair(i)
             latents = (latents.astype(jnp.float32)
