@@ -19,6 +19,40 @@ from ..schedulers import EnhancedDDIMScheduler
 from .wan_video import generate_noise
 
 
+def _gaussian_blur_mask(mask: np.ndarray, ksize: int = 33,
+                        sigma: float = 10.0) -> np.ndarray:
+    """Separable gaussian with reflect padding (torchvision GaussianBlur
+    semantics used by BasePipeline.merge_latents, base.py:51-63)."""
+    r = ksize // 2
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    p = np.pad(mask, ((r, r), (0, 0)), mode="reflect")
+    m = np.stack([np.convolve(p[:, j], k, mode="valid")
+                  for j in range(p.shape[1])], axis=1)
+    p = np.pad(m, ((0, 0), (r, r)), mode="reflect")
+    return np.stack([np.convolve(p[i], k, mode="valid")
+                     for i in range(p.shape[0])], axis=0)
+
+
+def merge_local_predictions(value, locals_, masks, scales,
+                            height: int, width: int):
+    """BasePipeline.merge_latents (base.py:51-63): blurred binary masks
+    weight the per-region predictions into the global one. Host numpy —
+    tiny latents, runs between jitted UNet calls."""
+    value = np.asarray(value, np.float32)
+    weight = np.ones_like(value)
+    for latent, mask, scale in zip(locals_, masks, scales):
+        m = np.asarray(mask.resize((width, height)).convert("L"),
+                       np.float32)
+        m = (m / 255.0 > 0.5).astype(np.float32)
+        m = _gaussian_blur_mask(m)[None, None]
+        m = np.broadcast_to(m, value.shape).copy()
+        value = value + np.asarray(latent, np.float32) * m * scale
+        weight = weight + m * scale
+    return value / weight
+
+
 class SDImagePipeline:
 
     def __init__(self, dtype=jnp.float32):
@@ -85,6 +119,10 @@ class SDImagePipeline:
         negative_prompt: str = "",
         cfg_scale: float = 7.5,
         clip_skip: int = 1,
+        local_prompts=None,
+        masks=None,
+        mask_scales=None,
+        prompt_extender=None,
         input_image=None,
         denoising_strength: float = 1.0,
         controlnet_image=None,
@@ -115,9 +153,23 @@ class SDImagePipeline:
         else:
             latents = noise
 
+        # Omost-style prompt extension (BasePipeline.extend_prompt,
+        # base.py:79-88): an injected extender may add regional prompts,
+        # masks, and 100x mask scales
+        local_prompts = list(local_prompts or [])
+        masks = list(masks or [])
+        mask_scales = list(mask_scales or [])
+        if prompt_extender is not None:
+            extended = prompt_extender({"prompt": prompt})
+            prompt = extended.get("prompt", prompt)
+            local_prompts += extended.get("prompts", [])
+            masks += extended.get("masks", [])
+            mask_scales += [100.0] * len(extended.get("masks", []))
+
         ctx_posi = self.encode_prompt(prompt, clip_skip)
         ctx_nega = (self.encode_prompt(negative_prompt, clip_skip)
                     if cfg_scale != 1.0 else None)
+        ctx_locals = [self.encode_prompt(p, clip_skip) for p in local_prompts]
 
         # ControlNet conditioning (ControlNet units, sd_image.py:120-137 in
         # the reference): annotate the control image per unit
@@ -167,6 +219,16 @@ class SDImagePipeline:
             eps_posi = unet(self.unet_params, latents, tj, ctx_posi,
                             controlnet_res_stack=cn_stack,
                             ipadapter_kwargs_list=ip_posi)
+            if ctx_locals:
+                # local-prompt masked blending (sd_image.py:160-175 +
+                # base.py:51-76 in the reference)
+                eps_locals = [unet(self.unet_params, latents, tj, c,
+                                   controlnet_res_stack=cn_stack,
+                                   ipadapter_kwargs_list=ip_posi)
+                              for c in ctx_locals]
+                eps_posi = jnp.asarray(merge_local_predictions(
+                    eps_posi, eps_locals, masks, mask_scales,
+                    height // 8, width // 8), self.dtype)
             if cfg_scale != 1.0:
                 eps_nega = unet(self.unet_params, latents, tj, ctx_nega,
                                 controlnet_res_stack=cn_stack,

@@ -112,6 +112,10 @@ class SDXLImagePipeline:
         negative_prompt: str = "",
         cfg_scale: float = 7.5,
         clip_skip: int = 1,
+        local_prompts=None,
+        masks=None,
+        mask_scales=None,
+        prompt_extender=None,
         input_image=None,
         denoising_strength: float = 1.0,
         controlnet_image=None,
@@ -140,9 +144,22 @@ class SDXLImagePipeline:
         else:
             latents = noise
 
+        # Omost-style prompt extension + regional prompts
+        # (reference sdxl_image.py:115-116,160,200 + base.py:51-88)
+        local_prompts = list(local_prompts or [])
+        masks = list(masks or [])
+        mask_scales = list(mask_scales or [])
+        if prompt_extender is not None:
+            extended = prompt_extender({"prompt": prompt})
+            prompt = extended.get("prompt", prompt)
+            local_prompts += extended.get("prompts", [])
+            masks += extended.get("masks", [])
+            mask_scales += [100.0] * len(extended.get("masks", []))
+
         ctx_posi, pooled_posi = self.encode_prompt(prompt, clip_skip)
         if cfg_scale != 1.0:
             ctx_nega, pooled_nega = self.encode_prompt(negative_prompt, clip_skip)
+        ctx_locals = [self.encode_prompt(p, clip_skip) for p in local_prompts]
         add_time_id = jnp.asarray([height, width, 0, 0, height, width],
                                   jnp.float32)
 
@@ -178,6 +195,16 @@ class SDXLImagePipeline:
                             add_time_id, pooled_posi,
                             controlnet_res_stack=cn_stack,
                             ipadapter_kwargs_list=ip_posi)
+            if ctx_locals:
+                from .sd_image import merge_local_predictions
+                eps_locals = [unet(self.unet_params, latents, tj, c,
+                                   add_time_id, pl,
+                                   controlnet_res_stack=cn_stack,
+                                   ipadapter_kwargs_list=ip_posi)
+                              for c, pl in ctx_locals]
+                eps_posi = jnp.asarray(merge_local_predictions(
+                    eps_posi, eps_locals, masks, mask_scales,
+                    height // 8, width // 8), self.dtype)
             if cfg_scale != 1.0:
                 eps_nega = unet(self.unet_params, latents, tj, ctx_nega,
                                 add_time_id, pooled_nega,

@@ -5,9 +5,13 @@ Re-design of the reference StepVideoPipeline
 with shift=13 and reversed sigmas over (T_lat, 64, H/16, W/16) latents,
 joint Step-LLM (6144-d) + bilingual CLIP (1024-d) text conditioning.
 
-The two proprietary text encoders (StepLLM + STEP1TextEncoder) are served
-through an injectable `text_encoder` callable (transformers- or
-checkpoint-backed), like the other LLM-conditioned pipelines here.
+Text conditioning is native: the STEP1 caption LLM is a TPU port
+(models/stepvideo_llm.py, reference stepvideo_text_encoder.py:55-521) and
+the bilingual CLIP reuses the Hunyuan Chinese CLIP-BERT tower
+(models/hunyuan_image_dit.hunyuan_bert_forward). An injectable
+`text_encoder` callable remains supported for externally-served towers;
+tokenization uses the checkpoint's sentencepiece / BERT tokenizers when
+available.
 """
 from __future__ import annotations
 
@@ -51,6 +55,43 @@ class StepVideoPipeline:
         if vae_path:
             pipe.vae_params = V.convert_step_vae(K.load_state_dict(vae_path))
         return pipe
+
+    def fetch_text_encoders(self, clip_params=None, clip_tokenizer=None,
+                            step1_params=None, step1_cfg=None,
+                            step1_tokenize=None, llm_max_length: int = 320,
+                            clip_num_heads: int = 16):
+        """Build the native text_encoder callable
+        (StepVideoPrompter.encode_prompt, prompters/stepvideo_prompter.py:44-57):
+        bilingual CLIP-BERT over 77 tokens + STEP1 LLM over 320 tokens; the
+        LLM padding mask is left-padded with ones for the CLIP tokens.
+
+        clip_tokenizer: HF BertTokenizer; step1_tokenize:
+        callable(prompt, max_length) -> (ids (1, S), mask (1, S)) — the
+        StepChat sentencepiece tokenizer served host-side.
+        """
+        from ..models import stepvideo_llm as L
+        from ..models.hunyuan_image_dit import hunyuan_bert_forward
+        step1_cfg = step1_cfg or L.STEP1_LLM
+
+        def encode(prompt: str):
+            enc = clip_tokenizer([prompt], padding="max_length",
+                                 max_length=77, truncation=True,
+                                 return_attention_mask=True,
+                                 return_tensors="np")
+            clip_emb = hunyuan_bert_forward(
+                clip_params, jnp.asarray(enc["input_ids"], jnp.int32),
+                jnp.asarray(enc["attention_mask"]),
+                num_heads=clip_num_heads)
+            ids, mask = step1_tokenize(prompt, llm_max_length)
+            llm_emb = L.step1_llm_forward(step1_params, step1_cfg,
+                                          jnp.asarray(ids, jnp.int32))
+            mask = np.pad(np.asarray(mask), ((0, 0), (clip_emb.shape[1], 0)),
+                          constant_values=1)
+            return (llm_emb.astype(self.dtype), clip_emb.astype(self.dtype),
+                    jnp.asarray(mask))
+
+        self.text_encoder = encode
+        return self
 
     def __call__(
         self,

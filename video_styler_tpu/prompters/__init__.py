@@ -1,1 +1,3 @@
 from .wan_prompter import WanPrompter
+from .omost import OmostPrompter, Canvas
+from .prompt_extend import PromptRefinerChain, TemplatePromptExpander
