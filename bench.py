@@ -89,9 +89,21 @@ def bench_dit_block_14b(seq_tokens: int):
     q_total_ms = _time(lambda: fwd(qp, lat, ts, ctx))
     q_one_ms = _time(lambda: fwd1(qp1, lat, ts, ctx))
     q_block_ms = (q_total_ms - q_one_ms) / (n_layers - 1)
+
+    # int8 linears + SageAttention-style int8 attention (the reference
+    # chain's sageattention backend) — fresh jits so the flag is traced
+    from video_styler_tpu.ops.attention import set_quantized_attention
+    set_quantized_attention(True)
+    fwd_s = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg, x, t, c))
+    fwd1_s = jax.jit(lambda p, x, t, c: wan_dit_forward(p, cfg1, x, t, c))
+    s_total_ms = _time(lambda: fwd_s(qp, lat, ts, ctx))
+    s_one_ms = _time(lambda: fwd1_s(qp1, lat, ts, ctx))
+    sage_block_ms = (s_total_ms - s_one_ms) / (n_layers - 1)
+    set_quantized_attention(False)
+
     del params, params1, qp, qp1
     gc.collect()
-    return block_ms, overhead_ms, total_ms, q_block_ms
+    return block_ms, overhead_ms, total_ms, q_block_ms, sage_block_ms
 
 
 def bench_t5():
@@ -191,10 +203,13 @@ def main():
 
     seq = 19 * 30 * 52  # 29,640 tokens (73f 480x832 after (1,2,2) patchify)
     _log("stage 1/4: 14B-dim DiT block (bf16 + int8)")
-    block_ms, overhead_ms, meas4_ms, q_block_ms = bench_dit_block_14b(seq)
-    _log(f"block_ms={block_ms:.1f} int8_block_ms={q_block_ms:.1f}")
+    (block_ms, overhead_ms, meas4_ms, q_block_ms,
+     sage_block_ms) = bench_dit_block_14b(seq)
+    _log(f"block_ms={block_ms:.1f} int8_block_ms={q_block_ms:.1f} "
+         f"int8+sage_block_ms={sage_block_ms:.1f}")
     extra["dit14b_block_ms"] = round(block_ms, 2)
     extra["dit14b_block_ms_int8"] = round(q_block_ms, 2)
+    extra["dit14b_block_ms_int8_sage"] = round(sage_block_ms, 2)
     extra["dit14b_embed_head_overhead_ms"] = round(overhead_ms, 2)
 
     _log("stage 2/4: umT5-xxl encode")
@@ -233,6 +248,24 @@ def main():
     q_video_s = q_denoise_s + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3
     extra["ditto14b_projected_video_s_1xv5e_int8"] = round(q_video_s, 1)
 
+    # THE like-for-like recipe: the baseline's 240 s A6000 figure is the
+    # ComfyUI workflow (reference ditto_comfyui_workflow.json:
+    # Wan2_1-T2V-14B_fp8_e4m3fn + CausVid rank-32 distill LoRA,
+    # WanVideoSampler steps=4 cfg=1.2 unipc). Our framework runs the same
+    # recipe (LoRA merge is free, FlowUniPC supported, int8 is the TPU
+    # analog of fp8): 4 steps x 2 CFG branches of the int8 14B+VACE stack.
+    recipe_denoise_s = 4 * 2 * ((40 + 8) * q_block_ms + overhead_ms) / 1e3
+    recipe_video_s = recipe_denoise_s + (2 * vae_enc_ms + vae_dec_ms
+                                         + 2 * t5_ms) / 1e3
+    extra["ditto14b_recipe_video_s_1xv5e_int8_4step"] = round(recipe_video_s, 1)
+    sage_denoise_s = 4 * 2 * ((40 + 8) * sage_block_ms + overhead_ms) / 1e3
+    extra["ditto14b_recipe_video_s_1xv5e_int8_sage_4step"] = round(
+        sage_denoise_s + (2 * vae_enc_ms + vae_dec_ms + 2 * t5_ms) / 1e3, 1)
+    extra["recipe_note"] = (
+        "recipe = baseline ComfyUI config (quantized 14B + CausVid distill "
+        "LoRA, 4 steps, cfg 1.2): int8 14B+VACE, 4 steps x 2 branches + "
+        "measured VAE/T5")
+
     # v5p-8 target projection (BASELINE.md north-star hardware): 8 chips,
     # v5p ~459 bf16 TF/s vs v5e ~197; sequence-parallel denoise scales the
     # block time, VAE/T5 conservatively kept at single-chip v5e speed.
@@ -243,11 +276,15 @@ def main():
         "240 s = A6000 ComfyUI fp8+CausVid-distill path; ours is bf16 "
         "full-quality 50-step CFG")
 
+    # headline: the recipe-parity number (same model+LoRA+steps+quantization
+    # class as the 240 s baseline, measured/composed on ONE v5e). The bf16
+    # full-quality 50-step projection stays in extra, clearly labeled.
+    extra["ditto14b_projected_video_s_1xv5e_bf16_50step"] = round(video_s, 1)
     result = {
-        "metric": "ditto_vace14b_projected_video_s_1xv5e",
-        "value": round(video_s, 1),
+        "metric": "ditto_vace14b_recipe_video_s_1xv5e",
+        "value": round(recipe_video_s, 1),
         "unit": "s",
-        "vs_baseline": round(240.0 / video_s, 3),
+        "vs_baseline": round(240.0 / recipe_video_s, 3),
         "extra": extra,
     }
     print(json.dumps(result))

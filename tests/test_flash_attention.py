@@ -74,3 +74,58 @@ def test_pallas_kernel_interpret_mode(sq, sk, monkeypatch):
     got = np.asarray(fa._flash_fwd_3d(q, k, v, scale, block_q=128, block_k=128))
     want = np.asarray(chunked_attention(q, k, v, scale, block_k=128))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
+def test_pallas_int8_kernel_interpret_mode(sq, sk, monkeypatch):
+    """SageAttention-style int8 kernel vs exact attention: K mean-smoothing
+    + per-row scales keep cosine similarity ~1 at realistic magnitudes."""
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    q = _rand(0, (2, sq, 32))
+    k = _rand(1, (2, sk, 32)) + 0.7     # K mean offset: smoothing must absorb
+    v = _rand(2, (2, sk, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_3d_int8(q, k, v, scale, block_q=128,
+                                           block_k=128), np.float32)
+    want = np.asarray(chunked_attention(q, k, v, scale, block_k=128),
+                      np.float32)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(got, want, rtol=0.2, atol=0.05)
+
+
+def test_int8_smoothing_invariance():
+    """The dropped q . k_mean term is per-row constant: adding a large
+    constant channel offset to K must not change int8 attention output
+    beyond quantization noise."""
+    import video_styler_tpu.ops.flash_attention as fa
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    import unittest.mock as mock
+    with mock.patch.object(fa.pl, "pallas_call", interp_call):
+        q = _rand(0, (1, 128, 32))
+        k = _rand(1, (1, 128, 32))
+        v = _rand(2, (1, 128, 32))
+        scale = 1.0 / np.sqrt(32)
+        a = np.asarray(fa._flash_fwd_3d_int8(q, k, v, scale, 128, 128),
+                       np.float32)
+        b = np.asarray(fa._flash_fwd_3d_int8(q, k + 3.0, v, scale, 128, 128),
+                       np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.02)

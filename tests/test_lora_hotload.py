@@ -71,9 +71,52 @@ def test_detect_model_kind_extended():
          "wav2vec"),
         ({"blocks.0.self_attn.q.weight": z}, "dit"),
         ({"token_embedding.weight": z}, "t5"),
+        ({"controlnet_blocks.0.x_rms.weight": z, "img_in.weight": z},
+         "qwen_image_blockwise_controlnet"),
+        ({"embedder.model_dict.blocks___0___ff_a___0.x": z},
+         "flux_lora_encoder"),
+        ({"prefer_value_embedder.0.weight": z, "positional_embedding": z},
+         "flux_value_encoder"),
+        ({"layers.0.0.to_kv.weight": z, "latents": z},
+         "flux_infiniteyou_projector"),
+        ({"tok_embeddings.word_embeddings.weight": z,
+          "transformer.layers.0.attention.wqkv.weight": z},
+         "stepvideo_text_encoder"),
+        ({"motion_modules.0.transformer_blocks.0.attention_blocks.0.to_q.weight": z},
+         "motion_modules"),
     ]
     for sd, want in cases:
         assert detect_model_kind(sd) == want, (sd.keys(), want)
+
+
+def test_load_model_dispatch(tmp_path):
+    """load_model: point at a checkpoint file -> (kind, converted params)
+    (ModelManager.load_model analog, model_manager.py:395-467)."""
+    import torch
+    from safetensors.torch import save_file
+    from video_styler_tpu.utils.ckpt import load_model
+    from ref_loader import ref_available, load_ref
+    if not ref_available():
+        import pytest
+        pytest.skip("reference not mounted")
+
+    torch.manual_seed(0)
+    cn = load_ref("models.qwen_image_controlnet").QwenImageBlockWiseControlNet(
+        num_layers=2, in_dim=64, dim=32).eval()
+    p = tmp_path / "cn.safetensors"
+    save_file({k: v.contiguous() for k, v in cn.state_dict().items()}, str(p))
+    kind, params = load_model(str(p))
+    assert kind == "qwen_image_blockwise_controlnet"
+    assert params["blocks"]["x_rms"]["scale"].shape == (2, 32)
+
+    enc = load_ref("models.flux_value_control").SingleValueEncoder(
+        dim_in=16, dim_out=32, prefer_len=4).eval()
+    p2 = tmp_path / "val.safetensors"
+    save_file({k: v.contiguous() for k, v in enc.state_dict().items()},
+              str(p2))
+    kind2, params2 = load_model(str(p2))
+    assert kind2 == "flux_value_encoder"
+    assert params2["pos"].shape == (4, 32)
 
 
 def test_xlm_roberta_parity():

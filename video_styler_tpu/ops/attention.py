@@ -33,11 +33,24 @@ def sdpa(q, k, v, scale: Optional[float] = None, bias=None):
     return out.astype(v.dtype)
 
 
+_QUANTIZED_ATTENTION = False
+
+
+def set_quantized_attention(enabled: bool):
+    """Route long-sequence attention through the SageAttention-style int8
+    kernel (flash_attention.flash_attention_int8) — the TPU analog of the
+    reference's sageattention backend (wan_video_dit.py:9-26). Opt-in, like
+    the reference chain: full-quality bf16 stays the default."""
+    global _QUANTIZED_ATTENTION
+    _QUANTIZED_ATTENTION = bool(enabled)
+
+
 def attention(q, k, v, scale: Optional[float] = None, use_flash: Optional[bool] = None):
     """Dispatch between the Pallas flash kernel (TPU, long seq) and sdpa.
 
     Mirrors the reference backend chain (wan_video_dit.py:28-61) collapsed to
-    two TPU-native choices.
+    TPU-native choices: int8 Sage-style kernel (opt-in) -> bf16 flash
+    kernel -> XLA sdpa.
     """
     if use_flash is None:
         use_flash = (
@@ -47,6 +60,9 @@ def attention(q, k, v, scale: Optional[float] = None, use_flash: Optional[bool] 
         )
     if use_flash:
         try:
+            if _QUANTIZED_ATTENTION:
+                from .flash_attention import flash_attention_int8 as _flash8
+                return _flash8(q, k, v, scale=scale)
             from .flash_attention import flash_attention as _flash
             return _flash(q, k, v, scale=scale)
         except Exception:

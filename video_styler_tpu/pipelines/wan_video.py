@@ -206,11 +206,16 @@ class WanVideoPipeline:
             raise ValueError(f"unknown model kind {kind}")
 
     def quantize(self, mode: str = "int8", targets: tuple = ("dit", "dit2",
-                                                             "vace")):
+                                                             "vace"),
+                 quantize_attention: bool = False):
         """Quantize DiT linear weights to int8/fp8 — the TPU analog of the
         reference fp8 path (vram_management/layers.py:115-151; the 4-min
         ComfyUI baseline runs the 14B fp8-quantized). Must run after LoRA
-        merging. The output head and modulation tables stay high-precision."""
+        merging. The output head and modulation tables stay high-precision.
+
+        quantize_attention additionally routes long-sequence attention
+        through the SageAttention-style int8 Pallas kernel (the reference
+        chain's sageattention backend, wan_video_dit.py:9-26)."""
         from ..ops.quant import quantize_params
         keep = ("head", "modulation", "time_embedding")
 
@@ -223,6 +228,9 @@ class WanVideoPipeline:
             if params is not None:
                 setattr(self, attr, quantize_params(params, mode=mode,
                                                     predicate=pred))
+        if quantize_attention:
+            from ..ops.attention import set_quantized_attention
+            set_quantized_attention(True)
         self._jit_cache.clear()
 
     def load_lora(self, target: str = "dit", path: Optional[str] = None,

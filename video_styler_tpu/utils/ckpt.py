@@ -110,6 +110,120 @@ def detect_vace_config(sd: Dict) -> Optional[VaceConfig]:
                       dim=dim, num_heads=heads, ffn_dim=ffn)
 
 
+def load_model(path: str, dtype=None):
+    """ModelManager.load_model analog: point at an official checkpoint file
+    and get `(kind, params)` with the right converter applied
+    (reference diffsynth/models/model_manager.py:395-467, structural
+    detection instead of the 95-entry hash table).
+
+    Kinds whose converter needs extra context (tokenizers, paired text
+    encoders) return the converted params; wiring them into a pipeline is
+    the caller's job, same as the reference's fetch_model step.
+    """
+    import jax.numpy as jnp
+    dtype = dtype or jnp.bfloat16
+    sd = load_state_dict(path)
+    kind = detect_model_kind(sd)
+    params = _convert_by_kind(kind, sd, dtype)
+    return kind, params
+
+
+def _convert_by_kind(kind: str, sd: Dict, dtype):
+    import jax.numpy as jnp
+    if kind in ("dit", "dit+vace", "vace"):
+        from .convert import convert_wan_dit, convert_vace
+        out = {}
+        if kind in ("dit", "dit+vace"):
+            cfg = detect_wan_dit_config(sd)
+            out["dit"] = convert_wan_dit(sd, cfg, dtype=dtype)
+            out["dit_cfg"] = cfg
+        if kind in ("vace", "dit+vace"):
+            vcfg = detect_vace_config(sd)
+            out["vace"] = convert_vace(sd, vcfg, dtype=dtype)
+            out["vace_cfg"] = vcfg
+        return out
+    if kind == "vae":
+        from ..models import wan_vae as V
+        is38 = any(".conv3." in k for k in sd) or any(
+            getattr(v, "shape", (0,)) and getattr(v, "shape", (0,))[0] == 96
+            and k.endswith("conv1.weight") for k, v in sd.items())
+        cfg = V.WAN22_VAE if is38 else V.WAN21_VAE
+        return {"vae": V.convert_wan_vae(sd, dtype=dtype), "vae_cfg": cfg}
+    if kind == "t5":
+        from ..models.t5 import convert_t5, UMT5_XXL
+        return convert_t5(sd, UMT5_XXL, dtype=dtype)
+    if kind == "clip":
+        from ..models.clip_vit import convert_clip_vit
+        return convert_clip_vit(sd, dtype=dtype)
+    if kind == "flux_dit":
+        from ..models.flux_dit import (convert_flux_dit, FLUX_DEV,
+                                       FLUX_SCHNELL)
+        cfg = FLUX_DEV if any("guidance" in k for k in sd) else FLUX_SCHNELL
+        return convert_flux_dit(sd, cfg, dtype=dtype)
+    if kind == "flux_controlnet":
+        from ..models import flux_controlnet as FC
+        from ..models.flux_dit import FLUX_DEV
+        cfg = FC.FluxControlNetConfig(
+            dit=FLUX_DEV,
+            num_joint_blocks=1 + max((int(k.split(".")[1]) for k in sd
+                                      if k.startswith("controlnet_blocks.")),
+                                     default=-1),
+            num_single_blocks=1 + max(
+                (int(k.split(".")[1]) for k in sd
+                 if k.startswith("controlnet_single_blocks.")), default=-1),
+            guidance_embed="guidance_embedder.timestep_embedder.0.weight" in sd)
+        return FC.convert_flux_controlnet(sd, cfg, dtype=dtype)
+    if kind == "sd3_dit":
+        from ..models.sd3_dit import convert_sd3_dit
+        return convert_sd3_dit(sd, cfg=None, dtype=dtype)   # auto-infers
+    if kind == "hunyuan_video_dit":
+        from ..models.hunyuan_video_dit import (convert_hunyuan_video_dit,
+                                                HUNYUAN_VIDEO)
+        return convert_hunyuan_video_dit(sd, HUNYUAN_VIDEO, dtype=dtype)
+    if kind == "qwen_image_dit":
+        from ..models.qwen_image_dit import (convert_qwen_image_dit,
+                                             QWEN_IMAGE)
+        return convert_qwen_image_dit(sd, QWEN_IMAGE, dtype=dtype)
+    if kind == "qwen_image_blockwise_controlnet":
+        from ..models.qwen_image_controlnet import \
+            convert_qwen_blockwise_controlnet
+        return convert_qwen_blockwise_controlnet(sd, dtype=dtype)
+    if kind == "flux_lora_encoder":
+        from ..models.flux_adapters import convert_flux_lora_encoder
+        return convert_flux_lora_encoder(sd, dtype=dtype)
+    if kind == "flux_value_encoder":
+        from ..models.flux_adapters import convert_value_encoder
+        return convert_value_encoder(sd, dtype=dtype)
+    if kind == "flux_infiniteyou_projector":
+        from ..models.flux_adapters import convert_infiniteyou_projector
+        if "image_proj" in sd and not hasattr(sd["image_proj"], "shape"):
+            sd = sd["image_proj"]
+        return convert_infiniteyou_projector(sd, dtype=dtype)
+    if kind == "stepvideo_text_encoder":
+        from ..models.stepvideo_llm import convert_step1_llm, STEP1_LLM
+        return convert_step1_llm(sd, STEP1_LLM, dtype=dtype)
+    if kind == "motion_modules":
+        from ..models.motion import convert_motion_model
+        return convert_motion_model(sd, dtype=dtype)
+    if kind in ("sd_unet", "svd_unet"):
+        from ..models.sd import convert_sd_module
+        return convert_sd_module(sd, dtype)
+    if kind == "ipadapter":
+        from ..models.ipadapter import convert_ipadapter
+        return convert_ipadapter(sd, dtype=dtype)
+    if kind == "flux_ipadapter":
+        from ..models.flux_controlnet import convert_flux_ipadapter
+        return convert_flux_ipadapter(sd, dtype=dtype)
+    if kind == "kolors_text_encoder":
+        from ..models.kolors_text_encoder import convert_chatglm, CHATGLM3_6B
+        return convert_chatglm(sd, CHATGLM3_6B, dtype=dtype)
+    if kind == "wav2vec":
+        from ..models.wav2vec import convert_wav2vec, WAV2VEC2_XLSR_53
+        return convert_wav2vec(sd, WAV2VEC2_XLSR_53, dtype=dtype)
+    raise NotImplementedError(
+        f"detected '{kind}' — use its family pipeline/converter directly")
+
+
 def detect_model_kind(sd: Dict) -> str:
     """Structural architecture detection — the ModelManager analog
     (reference diffsynth/models/model_manager.py hash registry + 4
@@ -117,6 +231,21 @@ def detect_model_kind(sd: Dict) -> str:
     finetunes resolve too. Covers every ported family."""
     keys = sd.keys()
     # non-Wan families first (their keys never collide with Wan's)
+    if any(k.startswith("controlnet_blocks.") and ".x_rms." in k
+           for k in keys):
+        return "qwen_image_blockwise_controlnet"
+    if any(k.startswith("embedder.model_dict.") for k in keys):
+        return "flux_lora_encoder"
+    if "prefer_value_embedder.0.weight" in sd:
+        return "flux_value_encoder"
+    if any(k.endswith(".0.to_kv.weight") for k in keys) and \
+            ("latents" in sd or "image_proj" in sd):
+        return "flux_infiniteyou_projector"
+    if "tok_embeddings.word_embeddings.weight" in sd:
+        return "stepvideo_text_encoder"
+    if any(k.startswith("motion_modules.") and "transformer_blocks" in k
+           for k in keys):
+        return "motion_modules"
     if any(k.startswith("double_blocks.") for k in keys) or \
             "img_in.weight" in sd:
         return "flux_dit"                      # BFL layout
