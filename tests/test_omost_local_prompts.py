@@ -168,3 +168,22 @@ def test_omost_extender_through_pipeline(monkeypatch):
          height=64, width=64, prompt_extender=prompter, return_latents=True)
     # 1 global + 2 regional UNet calls per step
     assert len(seen) == 3
+
+
+def test_prompt_refiners():
+    """BeautifulPrompt/QwenPrompt/Translator analogs
+    (reference prompters/prompt_refiners.py:6-130)."""
+    from video_styler_tpu.prompters import (BeautifulPrompt, QwenPrompt,
+                                            Translator, PromptRefinerChain)
+    bp = BeautifulPrompt(generate=lambda t: " masterpiece, oil painting ")
+    assert bp("a cat") == "a cat, masterpiece, oil painting"
+    assert bp("low quality", positive=False) == "low quality"
+    assert "### Input" in BeautifulPrompt(lambda t: t, v2=True).template
+    qp = QwenPrompt(chat=lambda msgs: "A cat in the sun.")
+    assert qp("一只猫") == "A cat in the sun."
+    assert qp("neg", positive=False) == "neg"
+    tr = Translator(translate=str.upper)
+    # translator applies to negative prompts too (prompt_refiners.py:126-130)
+    assert tr("hello", positive=False) == "HELLO"
+    chain = PromptRefinerChain([tr, bp])
+    assert chain("a dog") == "A DOG, masterpiece, oil painting"

@@ -100,18 +100,78 @@ class SDImagePipeline:
             vae_decoder_sd=parts["vae_decoder"],
             tokenizer_path=tokenizer_path, dtype=dtype)
 
+    def load_textual_inversions(self, paths=None, state_dicts=None):
+        """SDPrompter.load_textual_inversions analog
+        (prompters/sd_prompter.py:48-61 + models/utils.py:91-98): every
+        768-wide 2-D tensor in the file becomes extra token-embedding rows;
+        the file's basename becomes a prompt keyword expanding to those
+        tokens."""
+        import os as _os
+        from ..utils.ckpt import load_state_dict
+
+        def search(node, out):
+            if isinstance(node, dict):
+                for v in node.values():
+                    search(v, out)
+            else:
+                arr = np.asarray(node.detach().float().cpu()
+                                 if hasattr(node, "detach") else node)
+                if arr.ndim == 2 and arr.shape[1] == 768:
+                    out.append(arr.astype(np.float32))
+
+        self._ti_keywords = getattr(self, "_ti_keywords", {})
+        items = []
+        if paths:
+            items += [(_os.path.splitext(_os.path.basename(p))[0],
+                       load_state_dict(p)) for p in paths]
+        if state_dicts:
+            items += list(state_dicts.items())
+        new_rows = []
+        for keyword, sd in items:
+            found = []
+            search(sd, found)
+            for arr in found[:1]:          # one embedding bundle per file
+                tokens = [f"{keyword}_{i}" for i in range(arr.shape[0])]
+                if self.tokenizer is not None:
+                    self.tokenizer.add_tokens(tokens)
+                self._ti_keywords[keyword] = " " + " ".join(tokens) + " "
+                new_rows.append(arr)
+        if new_rows:
+            emb = self.text_encoder_params["token_embedding"]["weight"]
+            self.text_encoder_params["token_embedding"]["weight"] = \
+                jnp.concatenate(
+                    [emb] + [jnp.asarray(r, emb.dtype) for r in new_rows],
+                    axis=0)
+
+    def _apply_ti_keywords(self, prompt: str) -> str:
+        for kw, rep in getattr(self, "_ti_keywords", {}).items():
+            if kw in prompt:
+                prompt = prompt.replace(kw, rep)
+        return prompt
+
     def encode_prompt(self, prompt: str, clip_skip: int = 1):
+        prompt = self._apply_ti_keywords(prompt)
         if self.tokenizer is not None:
-            enc = self.tokenizer([prompt], padding="max_length", truncation=True,
-                                 max_length=77, return_tensors="np")
-            ids = enc["input_ids"].astype(np.int32)
+            # tokenize_long_prompt (base_prompter.py:6-33): pad to a multiple
+            # of 77, encode per 77-token chunk, concatenate on sequence
+            try:
+                raw = self.tokenizer(prompt, return_tensors="np",
+                                     truncation=False)["input_ids"]
+                n = max(1, -(-raw.shape[1] // 77))
+            except Exception:      # length-capped / stub tokenizers
+                n = 1
+            enc = self.tokenizer([prompt], padding="max_length",
+                                 truncation=True, max_length=n * 77,
+                                 return_tensors="np")
+            ids = np.asarray(enc["input_ids"], np.int32).reshape(n, 77)
         else:
             n = min(len(prompt.split()) + 2, 77)
             ids = np.zeros((1, 77), np.int32)
             ids[0, :n] = (np.arange(n) + 1) % 49408
-        return SD.sd_text_encoder_forward(
+        out = SD.sd_text_encoder_forward(
             self.text_encoder_params, jnp.asarray(ids), clip_skip=clip_skip,
             num_layers=self.num_text_layers)
+        return out.reshape(1, -1, out.shape[-1])
 
     def __call__(
         self,

@@ -327,9 +327,12 @@ class WanVideoPipeline:
         inactive = video * (1 - mask)
         reactive = video * mask
         kw = dict(tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
-        inactive = self.encode_video(inactive, **kw)
-        reactive = self.encode_video(reactive, **kw)
-        vace_video_latents = jnp.concatenate([inactive, reactive], axis=1)
+        # one batch-2 VAE pass instead of two batch-1 passes: per-tile fixed
+        # overheads amortize and the convs see 2x batch on the MXU
+        # (identical math — batch entries are independent in every conv/norm)
+        both = self.encode_video(np.concatenate([inactive, reactive], axis=0),
+                                 **kw)
+        vace_video_latents = jnp.concatenate([both[0:1], both[1:2]], axis=1)
 
         # mask -> (1, 64, T_lat, H/8, W/8): 8x8 shuffle + nearest temporal
         m = mask[0, 0]                                       # (T, H, W)
