@@ -123,7 +123,9 @@ def bench_t5():
 
 
 def bench_vae():
-    """Full-size Wan2.1 VAE tiled encode+decode at 480x832x73.
+    """Full-size Wan2.1 VAE encode+decode at 480x832x73 via the streaming
+    (temporal-chunked, cache-carried) path — exact vs full-sequence, no
+    spatial tile-overlap recompute (V.encode/decode route tiled=True to it).
 
     First pass compiles (shape-specialized conv graphs are expensive to build
     on the single host core); the reported numbers are the steady-state
@@ -217,11 +219,11 @@ def main():
     _log(f"t5_ms={t5_ms:.1f}")
     extra["umt5xxl_encode_ms"] = round(t5_ms, 1)
 
-    _log("stage 3/4: VAE tiled encode/decode 480p73f")
+    _log("stage 3/4: VAE streaming encode/decode 480p73f")
     vae_enc_ms, vae_dec_ms, c_enc, c_dec = bench_vae()
     _log(f"vae steady enc={vae_enc_ms:.0f}ms dec={vae_dec_ms:.0f}ms")
-    extra["vae_tiled_encode_ms_480p73f"] = round(vae_enc_ms, 1)
-    extra["vae_tiled_decode_ms_480p73f"] = round(vae_dec_ms, 1)
+    extra["vae_encode_ms_480p73f"] = round(vae_enc_ms, 1)
+    extra["vae_decode_ms_480p73f"] = round(vae_dec_ms, 1)
     extra["vae_first_run_compile_ms"] = [round(c_enc), round(c_dec)]
 
     _log("stage 4/4: 1.3B+VACE denoise branch at 480x832x73")

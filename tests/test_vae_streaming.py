@@ -1,0 +1,57 @@
+"""Streaming (temporal-chunked, cache-carried) VAE encode/decode — the
+reference feat_cache design (wan_video_vae.py:984-1034) in functional form —
+must match the full-sequence graphs exactly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import video_styler_tpu.models.wan_vae as V
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = V.WAN_VAE_TINY
+    params = V.init_wan_vae(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_decode_stream_matches_full(setup):
+    cfg, params = setup
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim, 7, 6, 8),
+                          jnp.float32)
+    want = np.asarray(V.vae_decode(params, z, cfg, clamp=False))
+    for cs in (1, 2, 3, 5):
+        got = np.asarray(V.vae_decode_stream(params, z, cfg, chunk_size=cs,
+                                             clamp=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_encode_stream_matches_full(setup):
+    cfg, params = setup
+    for T in (1, 5, 13):
+        vid = jax.random.normal(jax.random.PRNGKey(2), (1, 3, T, 32, 48),
+                                jnp.float32)
+        want = np.asarray(V.vae_encode(params, vid, cfg))
+        got = np.asarray(V.vae_encode_stream(params, vid, cfg))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_public_api_routes_streaming(setup):
+    cfg, params = setup
+    vid = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 5, 32, 48),
+                            jnp.float32)
+    # tiled=True now routes through streaming (exact), unless explicitly
+    # disabled
+    a = np.asarray(V.encode(params, vid, cfg, tiled=True))
+    b = np.asarray(V.vae_encode(params, vid, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.z_dim, 3, 4, 6),
+                          jnp.float32)
+    c = np.asarray(V.decode(params, z, cfg, tiled=True))
+    d = np.asarray(V.vae_decode(params, z, cfg))
+    np.testing.assert_allclose(c, d, rtol=1e-4, atol=1e-5)
+    # explicit spatial tiling still available
+    e = np.asarray(V.encode(params, vid, cfg, tiled=True, streaming=False,
+                            tile_size=(2, 2), tile_stride=(1, 1)))
+    assert e.shape == b.shape

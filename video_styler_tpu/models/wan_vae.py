@@ -288,6 +288,239 @@ def vae_decode(params, z, cfg: WanVAEConfig = WAN21_VAE, clamp: bool = True):
 
 
 # --------------------------------------------------------------------------
+# Streaming (temporal-chunked) decode — the reference's feat_cache design
+# (wan_video_vae.py:1011-1034, CausalConv3d cache :33-52, CACHE_T=2) in
+# functional form: conv caches are an explicit pytree threaded through a
+# host loop over latent-frame chunks. Exactly equal to the full-sequence
+# decode (causal ops only), but activations stay at chunk size, so 480p+
+# decodes run WITHOUT spatial tiling — no tile-overlap recompute and no
+# per-tile ramp blending.
+# --------------------------------------------------------------------------
+
+
+class _CacheIO:
+    """Threads per-op temporal caches in fixed op order (the functional
+    analog of the reference's mutable feat_cache + feat_idx counter)."""
+
+    def __init__(self, caches):
+        self.create = caches is None
+        self.caches = caches or []
+        self.out = []
+        self.idx = 0
+
+    def get(self, make_zeros):
+        if self.create:
+            return make_zeros()
+        c = self.caches[self.idx]
+        self.idx += 1
+        return c
+
+    def put(self, cache):
+        self.out.append(cache)
+
+
+def _causal_conv3d_io(p, x, io: _CacheIO, stride=(1, 1, 1)):
+    kt, kh, kw = p["weight"].shape[2:]
+    pt, ph, pw = (kt - 1) // 2, (kh - 1) // 2, (kw - 1) // 2
+    if pt == 0:
+        return conv3d(p, x, stride=stride,
+                      padding=((0, 0), (ph, ph), (pw, pw)))
+    cache = io.get(lambda: jnp.zeros(
+        x.shape[:2] + (2 * pt,) + x.shape[3:], x.dtype))
+    xin = jnp.concatenate([cache, x], axis=2)
+    y = conv3d(p, xin, stride=stride, padding=((0, 0), (ph, ph), (pw, pw)))
+    io.put(xin[:, :, -2 * pt:])
+    return y
+
+
+def _residual_block_io(p, x, io: _CacheIO):
+    if "shortcut" in p:
+        h = _causal_conv3d_io(p["shortcut"], x, io)
+    else:
+        h = x
+    y = rms_norm_spatial(p["residual"]["0"], x)
+    y = _silu(y)
+    y = _causal_conv3d_io(p["residual"]["2"], y, io)
+    y = rms_norm_spatial(p["residual"]["3"], y)
+    y = _silu(y)
+    y = _causal_conv3d_io(p["residual"]["6"], y, io)
+    return y + h
+
+
+def _resample_up_io(p, x, mode: str, io: _CacheIO, first: bool):
+    if mode == "upsample3d":
+        if first:
+            head_f = x[:, :, :1]
+            rest = x[:, :, 1:]
+            if rest.shape[2] > 0:
+                y = _causal_conv3d_io(p["time_conv"], rest, io)
+                b, c2, tt, h, w = y.shape
+                c = c2 // 2
+                y = y.reshape(b, 2, c, tt, h, w)
+                y = jnp.stack([y[:, 0], y[:, 1]], axis=3)
+                y = y.reshape(b, c, tt * 2, h, w)
+                xt = jnp.concatenate([head_f, y], axis=2)
+            else:
+                # no frames have entered the time_conv stream yet: its
+                # cache is still the zero left-pad
+                io.put(io.get(lambda: jnp.zeros(
+                    x.shape[:2] + (2,) + x.shape[3:], x.dtype)))
+                xt = head_f
+        else:
+            y = _causal_conv3d_io(p["time_conv"], x, io)
+            b, c2, tt, h, w = y.shape
+            c = c2 // 2
+            y = y.reshape(b, 2, c, tt, h, w)
+            y = jnp.stack([y[:, 0], y[:, 1]], axis=3)
+            xt = y.reshape(b, c, tt * 2, h, w)
+        xt = upsample_nearest_2x(xt)
+        return conv2d_on_frames(p["resample"]["1"], xt,
+                                padding=((1, 1), (1, 1)))
+    if mode == "upsample2d":
+        xt = upsample_nearest_2x(x)
+        return conv2d_on_frames(p["resample"]["1"], xt,
+                                padding=((1, 1), (1, 1)))
+    raise ValueError(f"streaming decode only upsamples, got {mode}")
+
+
+def _decode_stream_step(params, z_chunk, caches, cfg: WanVAEConfig,
+                        first: bool):
+    """One latent-frame chunk -> (video chunk, new caches)."""
+    mean = jnp.asarray(cfg.latent_mean, z_chunk.dtype)[None, :, None, None, None]
+    std = jnp.asarray(cfg.latent_std, z_chunk.dtype)[None, :, None, None, None]
+    z = z_chunk * std + mean
+    io = _CacheIO(caches)
+    x = _causal_conv3d_io(params["conv2"], z, io)
+    p = params["decoder"]
+    x = _causal_conv3d_io(p["conv1"], x, io)
+    x = _residual_block_io(p["middle"]["0"], x, io)
+    x = attention_block(p["middle"]["1"], x)
+    x = _residual_block_io(p["middle"]["2"], x, io)
+    for idx, (kind, mode) in enumerate(_decoder_plan(cfg)):
+        mp = p["upsamples"][str(idx)]
+        if kind == "res":
+            x = _residual_block_io(mp, x, io)
+        else:
+            x = _resample_up_io(mp, x, mode, io, first)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    x = _causal_conv3d_io(p["head"]["2"], x, io)
+    return x, io.out
+
+
+def _resample_down_io(p, x, mode: str, io: _CacheIO, first: bool):
+    if mode == "downsample2d":
+        return conv2d_on_frames(p["resample"]["1"], x, stride=(2, 2),
+                                padding=((0, 1), (0, 1)))
+    if mode != "downsample3d":
+        raise ValueError(f"streaming encode only downsamples, got {mode}")
+    x = conv2d_on_frames(p["resample"]["1"], x, stride=(2, 2),
+                         padding=((0, 1), (0, 1)))
+    if first:
+        # global frame 0 passes through and seeds the stride-2 window cache
+        io.put(x[:, :, -1:])
+        return x
+    cache = io.get(lambda: None)
+    xin = jnp.concatenate([cache, x], axis=2)
+    y = conv3d(p["time_conv"], xin, stride=(2, 1, 1))
+    io.put(xin[:, :, -1:])
+    return y
+
+
+def _encode_stream_step(params, chunk, caches, cfg: WanVAEConfig,
+                        first: bool):
+    """One video chunk (1 frame first, then 4-frame chunks — the reference
+    1+4k schedule, wan_video_vae.py:984-1009) -> (latent chunk, caches)."""
+    io = _CacheIO(caches)
+    p = params["encoder"]
+    x = _causal_conv3d_io(p["conv1"], chunk, io)
+    for idx, (kind, mode) in enumerate(_encoder_plan(cfg)):
+        mp = p["downsamples"][str(idx)]
+        if kind == "res":
+            x = _residual_block_io(mp, x, io)
+        else:
+            x = _resample_down_io(mp, x, mode, io, first)
+    x = _residual_block_io(p["middle"]["0"], x, io)
+    x = attention_block(p["middle"]["1"], x)
+    x = _residual_block_io(p["middle"]["2"], x, io)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    x = _causal_conv3d_io(p["head"]["2"], x, io)
+    moments = _causal_conv3d_io(params["conv1"], x, io)
+    mu = moments[:, :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std,
+                                mu.dtype)[None, :, None, None, None]
+    return (mu - mean) * inv_std, io.out
+
+
+_STREAM_JIT_CACHE = {}
+
+
+def vae_encode_stream(params, video, cfg: WanVAEConfig = WAN21_VAE):
+    """Temporal-chunked encode with the reference's 1+4k chunk schedule:
+    exact vs vae_encode (causal ops; the stride-2 temporal windows stay
+    aligned because every chunk after the first is 4 frames). O(chunk)
+    activations — no spatial tiling needed at 480p."""
+    B, C, T, H, W = video.shape
+    key0 = ("enc_stream", cfg, True, 1, H, W, video.dtype.name)
+    if key0 not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key0] = jax.jit(
+            partial(_encode_stream_step, cfg=cfg, first=True))
+    outs = []
+    out, caches = _STREAM_JIT_CACHE[key0](params, video[:, :, 0:1], None)
+    outs.append(out)
+    t0 = 1
+    while t0 < T:
+        t1 = min(t0 + 4, T)
+        key = ("enc_stream", cfg, False, t1 - t0, H, W, video.dtype.name)
+        if key not in _STREAM_JIT_CACHE:
+            _STREAM_JIT_CACHE[key] = jax.jit(
+                partial(_encode_stream_step, cfg=cfg, first=False),
+                donate_argnums=(2,))
+        out, caches = _STREAM_JIT_CACHE[key](params, video[:, :, t0:t1],
+                                             caches)
+        outs.append(out)
+        t0 = t1
+    return jnp.concatenate(outs, axis=2)
+
+
+def vae_decode_stream(params, z, cfg: WanVAEConfig = WAN21_VAE,
+                      chunk_size: int = 4, clamp: bool = True):
+    """Temporal-chunked decode: first chunk = 1 latent frame (the causal
+    head), then `chunk_size`-frame chunks, caches carried between steps.
+    Bit-equal to vae_decode up to conv reassociation; O(chunk) activation
+    memory, so no spatial tiling is needed at 480p."""
+    B, C, T, H, W = z.shape
+    bounds = [(0, 1)]
+    t0 = 1
+    while t0 < T:
+        t1 = min(t0 + chunk_size, T)
+        bounds.append((t0, t1))
+        t0 = t1
+
+    key0 = ("dec_stream", cfg, True, 1, H, W, z.dtype.name)
+    if key0 not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key0] = jax.jit(
+            partial(_decode_stream_step, cfg=cfg, first=True))
+    outs = []
+    out, caches = _STREAM_JIT_CACHE[key0](params, z[:, :, 0:1], None)
+    outs.append(out)
+    for (a, b) in bounds[1:]:
+        key = ("dec_stream", cfg, False, b - a, H, W, z.dtype.name)
+        if key not in _STREAM_JIT_CACHE:
+            _STREAM_JIT_CACHE[key] = jax.jit(
+                partial(_decode_stream_step, cfg=cfg, first=False),
+                donate_argnums=(2,))
+        out, caches = _STREAM_JIT_CACHE[key](params, z[:, :, a:b], caches)
+        outs.append(out)
+    video = jnp.concatenate(outs, axis=2)
+    if clamp:
+        video = jnp.clip(video, -1.0, 1.0)
+    return video
+
+
+# --------------------------------------------------------------------------
 # Tiled encode/decode (spatial tiles, ramp-blended) — wan_video_vae.py:1081-1203
 # --------------------------------------------------------------------------
 
@@ -368,14 +601,24 @@ def tiled_decode(params, z, cfg: WanVAEConfig = WAN21_VAE,
 # --------------------------------------------------------------------------
 
 def encode(params, video, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
-           tile_size=(34, 34), tile_stride=(18, 16)):
+           tile_size=(34, 34), tile_stride=(18, 16),
+           streaming: Optional[bool] = None):
+    """streaming=True (or tiled=True with streaming unset) runs the
+    temporal-chunked encoder: exact, O(chunk) memory, and ~2x faster than
+    spatial tiling (no tile-overlap recompute). Explicit streaming=False
+    with tiled=True keeps the reference's spatial tiling."""
+    if streaming or (tiled and streaming is None):
+        return vae_encode_stream(params, video, cfg)
     if tiled:
         return tiled_encode(params, video, cfg, tile_size, tile_stride)
     return vae_encode(params, video, cfg)
 
 
 def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
-           tile_size=(34, 34), tile_stride=(18, 16)):
+           tile_size=(34, 34), tile_stride=(18, 16),
+           streaming: Optional[bool] = None, chunk_size: int = 4):
+    if streaming or (tiled and streaming is None):
+        return vae_decode_stream(params, z, cfg, chunk_size=chunk_size)
     if tiled:
         return tiled_decode(params, z, cfg, tile_size, tile_stride)
     return vae_decode(params, z, cfg)
