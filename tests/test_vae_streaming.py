@@ -55,3 +55,40 @@ def test_public_api_routes_streaming(setup):
     e = np.asarray(V.encode(params, vid, cfg, tiled=True, streaming=False,
                             tile_size=(2, 2), tile_stride=(1, 1)))
     assert e.shape == b.shape
+
+
+def test_vae38_streaming_matches_full():
+    """Wan2.2 VAE38 streaming == full sequence (needs reference weights for
+    a structurally-complete param tree)."""
+    from ref_loader import ref_available, load_ref
+    if not ref_available():
+        pytest.skip("reference not mounted")
+    import torch
+    from video_styler_tpu.models.wan_vae import (WanVAE38Config,
+                                                 convert_wan_vae)
+    ref = load_ref("models.wan_video_vae")
+    torch.manual_seed(0)
+    model = ref.VideoVAE38_(dim=16, z_dim=8, dec_dim=16,
+                            dim_mult=[1, 2, 4, 4], num_res_blocks=1,
+                            attn_scales=[],
+                            temperal_downsample=[False, True, True],
+                            dropout=0.0).eval()
+    cfg = WanVAE38Config(dim=16, dec_dim=16, z_dim=8, dim_mult=(1, 2, 4, 4),
+                         num_res_blocks=1,
+                         temperal_downsample=(False, True, True),
+                         latent_mean=(0.0,) * 8, latent_std=(1.0,) * 8)
+    params = convert_wan_vae(model.state_dict(), dtype=jnp.float32)
+
+    vid = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 9, 32, 32),
+                            jnp.float32)
+    want_z = np.asarray(V.vae38_encode(params, vid, cfg))
+    got_z = np.asarray(V.vae38_encode_stream(params, vid, cfg))
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-4, atol=1e-5)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3, 4, 4),
+                          jnp.float32)
+    want_v = np.asarray(V.vae38_decode(params, z, cfg, clamp=False))
+    for cs in (1, 2):
+        got_v = np.asarray(V.vae38_decode_stream(params, z, cfg,
+                                                 chunk_size=cs, clamp=False))
+        np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)

@@ -607,6 +607,10 @@ def encode(params, video, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
     temporal-chunked encoder: exact, O(chunk) memory, and ~2x faster than
     spatial tiling (no tile-overlap recompute). Explicit streaming=False
     with tiled=True keeps the reference's spatial tiling."""
+    if isinstance(cfg, WanVAE38Config):
+        if streaming or (tiled and streaming is None):
+            return vae38_encode_stream(params, video, cfg)
+        return vae38_encode(params, video, cfg)
     if streaming or (tiled and streaming is None):
         return vae_encode_stream(params, video, cfg)
     if tiled:
@@ -617,6 +621,10 @@ def encode(params, video, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
 def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
            tile_size=(34, 34), tile_stride=(18, 16),
            streaming: Optional[bool] = None, chunk_size: int = 4):
+    if isinstance(cfg, WanVAE38Config):
+        if streaming or (tiled and streaming is None):
+            return vae38_decode_stream(params, z, cfg, chunk_size=chunk_size)
+        return vae38_decode(params, z, cfg)
     if streaming or (tiled and streaming is None):
         return vae_decode_stream(params, z, cfg, chunk_size=chunk_size)
     if tiled:
@@ -801,6 +809,145 @@ def vae38_decode(params, z, cfg: WanVAE38Config = WAN22_VAE, clamp: bool = True)
     x = causal_conv3d(params["conv2"], z)
     out = decoder3d_38(params["decoder"], x, cfg)
     video = pixel_unpatchify(out, 2)
+    if clamp:
+        video = jnp.clip(video, -1.0, 1.0)
+    return video
+
+
+# --------------------------------------------------------------------------
+# Streaming Wan2.2 VAE38 encode/decode — same cache-threading as the 2.1
+# VAE; avg_down3d needs no cache (its zero left-pad covers exactly the
+# first chunk on the 1+4k schedule) and dup_up3d's first_chunk drop applies
+# only to the first chunk.
+# --------------------------------------------------------------------------
+
+
+def _down_residual_block_io(p, x, io: _CacheIO, t_down: bool,
+                            down_flag: bool, mult: int, first: bool):
+    out_c = p["downsamples"]["0"]["residual"]["6"]["weight"].shape[0]
+    shortcut = avg_down3d(x, out_c, 2 if t_down else 1,
+                          2 if down_flag else 1)
+    h = x
+    for i in range(mult):
+        h = _residual_block_io(p["downsamples"][str(i)], h, io)
+    if down_flag:
+        mode = "downsample3d" if t_down else "downsample2d"
+        h = _resample_down_io(p["downsamples"][str(mult)], h, mode, io, first)
+    return h + shortcut
+
+
+def _up_residual_block_io(p, x, io: _CacheIO, t_up: bool, up_flag: bool,
+                          mult: int, first: bool):
+    h = x
+    for i in range(mult):
+        h = _residual_block_io(p["upsamples"][str(i)], h, io)
+    if up_flag:
+        mode = "upsample3d" if t_up else "upsample2d"
+        h = _resample_up_io(p["upsamples"][str(mult)], h, mode, io, first)
+        out_c = h.shape[1]
+        shortcut = dup_up3d(x, out_c, 2 if t_up else 1, 2,
+                            first_chunk=first)
+        return h + shortcut
+    return h
+
+
+def _encode38_stream_step(params, chunk, caches, cfg, first: bool):
+    io = _CacheIO(caches)
+    x = pixel_patchify(chunk, 2)
+    p = params["encoder"]
+    x = _causal_conv3d_io(p["conv1"], x, io)
+    for i in range(len(cfg.dim_mult)):
+        t_down = cfg.temperal_downsample[i] if i < len(
+            cfg.temperal_downsample) else False
+        down_flag = i != len(cfg.dim_mult) - 1
+        x = _down_residual_block_io(p["downsamples"][str(i)], x, io, t_down,
+                                    down_flag, cfg.num_res_blocks, first)
+    x = _residual_block_io(p["middle"]["0"], x, io)
+    x = attention_block(p["middle"]["1"], x)
+    x = _residual_block_io(p["middle"]["2"], x, io)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    x = _causal_conv3d_io(p["head"]["2"], x, io)
+    moments = _causal_conv3d_io(params["conv1"], x, io)
+    mu = moments[:, :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std,
+                                mu.dtype)[None, :, None, None, None]
+    return (mu - mean) * inv_std, io.out
+
+
+def _decode38_stream_step(params, z_chunk, caches, cfg, first: bool):
+    mean = jnp.asarray(cfg.latent_mean,
+                       z_chunk.dtype)[None, :, None, None, None]
+    std = jnp.asarray(cfg.latent_std, z_chunk.dtype)[None, :, None, None, None]
+    z = z_chunk * std + mean
+    io = _CacheIO(caches)
+    x = _causal_conv3d_io(params["conv2"], z, io)
+    p = params["decoder"]
+    x = _causal_conv3d_io(p["conv1"], x, io)
+    x = _residual_block_io(p["middle"]["0"], x, io)
+    x = attention_block(p["middle"]["1"], x)
+    x = _residual_block_io(p["middle"]["2"], x, io)
+    for i in range(len(cfg.dim_mult)):
+        t_up = cfg.temperal_upsample[i] if i < len(
+            cfg.temperal_upsample) else False
+        up_flag = i != len(cfg.dim_mult) - 1
+        x = _up_residual_block_io(p["upsamples"][str(i)], x, io, t_up,
+                                  up_flag, cfg.num_res_blocks + 1, first)
+    x = rms_norm_spatial(p["head"]["0"], x)
+    x = _silu(x)
+    x = _causal_conv3d_io(p["head"]["2"], x, io)
+    return pixel_unpatchify(x, 2), io.out
+
+
+def vae38_encode_stream(params, video, cfg: "WanVAE38Config" = None):
+    cfg = cfg or WAN22_VAE
+    B, C, T, H, W = video.shape
+    key0 = ("enc38_stream", cfg, True, 1, H, W, video.dtype.name)
+    if key0 not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key0] = jax.jit(
+            partial(_encode38_stream_step, cfg=cfg, first=True))
+    outs = []
+    out, caches = _STREAM_JIT_CACHE[key0](params, video[:, :, 0:1], None)
+    outs.append(out)
+    t0 = 1
+    while t0 < T:
+        t1 = min(t0 + 4, T)
+        key = ("enc38_stream", cfg, False, t1 - t0, H, W, video.dtype.name)
+        if key not in _STREAM_JIT_CACHE:
+            _STREAM_JIT_CACHE[key] = jax.jit(
+                partial(_encode38_stream_step, cfg=cfg, first=False),
+                donate_argnums=(2,))
+        out, caches = _STREAM_JIT_CACHE[key](params, video[:, :, t0:t1],
+                                             caches)
+        outs.append(out)
+        t0 = t1
+    return jnp.concatenate(outs, axis=2)
+
+
+def vae38_decode_stream(params, z, cfg: "WanVAE38Config" = None,
+                        chunk_size: int = 4, clamp: bool = True):
+    cfg = cfg or WAN22_VAE
+    B, C, T, H, W = z.shape
+    key0 = ("dec38_stream", cfg, True, 1, H, W, z.dtype.name)
+    if key0 not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key0] = jax.jit(
+            partial(_decode38_stream_step, cfg=cfg, first=True))
+    outs = []
+    out, caches = _STREAM_JIT_CACHE[key0](params, z[:, :, 0:1], None)
+    outs.append(out)
+    t0 = 1
+    while t0 < T:
+        t1 = min(t0 + chunk_size, T)
+        key = ("dec38_stream", cfg, False, t1 - t0, H, W, z.dtype.name)
+        if key not in _STREAM_JIT_CACHE:
+            _STREAM_JIT_CACHE[key] = jax.jit(
+                partial(_decode38_stream_step, cfg=cfg, first=False),
+                donate_argnums=(2,))
+        out, caches = _STREAM_JIT_CACHE[key](params, z[:, :, t0:t1], caches)
+        outs.append(out)
+        t0 = t1
+    video = jnp.concatenate(outs, axis=2)
     if clamp:
         video = jnp.clip(video, -1.0, 1.0)
     return video
