@@ -66,10 +66,18 @@ def run_svd(a):
 
 def run_sd_animatediff(a):
     from video_styler_tpu.pipelines import SDVideoPipeline
-    from video_styler_tpu.utils.ckpt import load_model
+    from video_styler_tpu.utils.ckpt import load_model, load_state_dict
+    from video_styler_tpu.utils.sd_civitai import convert_sd_civitai
+    from video_styler_tpu.models.sd import convert_sd_module
     pipe = SDVideoPipeline()
-    _, parts = load_model(a.dit_path)
-    pipe.unet_params = parts
+    parts = convert_sd_civitai(load_state_dict(a.dit_path))
+    pipe.unet_params = convert_sd_module(parts["unet"])
+    pipe.text_encoder_params = convert_sd_module(parts["text_encoder"])
+    pipe.vae_encoder_params = convert_sd_module(parts["vae_encoder"])
+    pipe.vae_decoder_params = convert_sd_module(parts["vae_decoder"])
+    if a.tokenizer_path:
+        from transformers import CLIPTokenizer
+        pipe.tokenizer = CLIPTokenizer.from_pretrained(a.tokenizer_path)
     _, motion = load_model(a.motion_path)
     pipe.motion_params = motion["motion_modules"]
     return pipe(prompt=a.prompt, negative_prompt=a.negative_prompt,
