@@ -618,9 +618,18 @@ def encode(params, video, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
     return vae_encode(params, video, cfg)
 
 
+def _auto_chunk(z, default: int = 4) -> int:
+    """Scale the latent chunk size down with spatial area so peak decoder
+    activations stay ~constant (4 latent frames at 480p-sized latents)."""
+    area = z.shape[-2] * z.shape[-1]
+    return max(1, min(default, int(round(default * 6240.0 / max(area, 1)))))
+
+
 def decode(params, z, cfg: WanVAEConfig = WAN21_VAE, tiled: bool = False,
            tile_size=(34, 34), tile_stride=(18, 16),
-           streaming: Optional[bool] = None, chunk_size: int = 4):
+           streaming: Optional[bool] = None, chunk_size: Optional[int] = None):
+    if chunk_size is None:
+        chunk_size = _auto_chunk(z)
     if isinstance(cfg, WanVAE38Config):
         if streaming or (tiled and streaming is None):
             return vae38_decode_stream(params, z, cfg, chunk_size=chunk_size)
