@@ -214,6 +214,12 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
 #   * P @ V stays bf16 (V quantization costs accuracy for little gain:
 #     the PV matmul is 50% of the attention FLOPs but V has no row
 #     smoothing).
+#
+# Measured (v5e, 32k tokens, d=128): the kernel is softmax/VPU-bound at
+# these block sizes, so int8 QK^T roughly breaks even with bf16 standalone
+# (49.5 vs 47.4 ms; 1024/2048 best, 1024/4096+ exceed VMEM) and wins only
+# when the surrounding DiT also runs int8 linears (232 vs 236 ms per 14B
+# block). Kept opt-in, mirroring the reference's sageattention backend.
 
 def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
                        m_scr, l_scr, acc_scr, *, kv_steps: int, kv_len: int,
