@@ -100,3 +100,30 @@ def test_wan_dit_quantized_forward_close():
     assert np.abs(got - exact).max() / denom < 0.15
     corr = np.corrcoef(got.ravel(), exact.ravel())[0, 1]
     assert corr > 0.995
+
+
+def test_quantize_attention_flag(monkeypatch):
+    """pipe.quantize(quantize_attention=True) routes long-sequence
+    attention through the int8 kernel (and the flag is resettable)."""
+    import importlib
+    A = importlib.import_module("video_styler_tpu.ops.attention")
+    set_quantized_attention = A.set_quantized_attention
+
+    calls = []
+    monkeypatch.setattr(
+        "video_styler_tpu.ops.flash_attention.flash_attention_int8",
+        lambda q, k, v, scale=None: calls.append("int8") or q)
+    monkeypatch.setattr(
+        "video_styler_tpu.ops.flash_attention.flash_attention",
+        lambda q, k, v, scale=None: calls.append("bf16") or q)
+    import jax.numpy as jnp
+    q = jnp.zeros((1, 2048, 2, 128), jnp.bfloat16)
+    try:
+        set_quantized_attention(True)
+        A.attention(q, q, q, use_flash=True)
+        assert calls[-1] == "int8"
+        set_quantized_attention(False)
+        A.attention(q, q, q, use_flash=True)
+        assert calls[-1] == "bf16"
+    finally:
+        set_quantized_attention(False)
