@@ -1,0 +1,355 @@
+"""Streaming executor for the Wan DiT: run models bigger than HBM.
+
+This is the capability the reference's vram_management layer provides — the
+fp8-quantized Wan-14B VACE edit runs on an 11 GB GPU by streaming every leaf
+layer CPU->GPU per call (/root/reference/diffsynth/vram_management/
+layers.py:95-188; recipe quoted at README.md:78). The TPU-native analog:
+
+  * as many DiT blocks as fit the HBM budget stay RESIDENT on device
+    (int8-quantized by default — the MXU runs int8 at 2x the bf16 rate, the
+    like-for-like of the reference's fp8 path);
+  * the remaining trunk blocks and the VACE branch live in host RAM and are
+    PREFETCHED block-by-block with a multi-stream async device_put, double/
+    triple-buffered so transfers overlap compute
+    (parallel/streaming.py:MultiStreamLoader/PrefetchQueue);
+  * VACE hint blocks are interleaved with the trunk walk: vace block i is
+    computed right before its hint is injected after trunk layer
+    vace_layers[i] (the hint chain c is independent of the trunk state, so
+    this reorders nothing numerically — wan_video_vace.py:53-87), keeping a
+    single (B, S, D) hint alive instead of all eight.
+
+The forward mirrors the pipeline's jitted `full` fn for the flagship paths
+(T2V/VACE/I2V + cfg_merge + TeaCache residual); exotic per-layer conditioning
+(Animate, FunCamera, FunReference) stays on the resident path.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.basic import linear
+from ..ops.rope import assemble_freqs_grid
+from ..parallel.streaming import (
+    MultiStreamLoader, PrefetchQueue, host_quantize_int8, split_host_blocks,
+    tree_bytes, tree_to_host,
+)
+from . import wan_dit as M
+from .wan_dit import WanDiTConfig
+from .wan_vace import VaceConfig
+
+
+def _to_host_np(tree):
+    """Accept device or host pytrees; land on numpy without device round-trips
+    for leaves that are already host-side."""
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class WanBlockStreamer:
+    """Host-resident Wan DiT (+ optional VACE branch) with streamed blocks.
+
+    Parameters are split at construction:
+      small (embeddings/head/modulation tables, vace patch+before_proj)
+        -> always resident, kept in compute dtype;
+      trunk blocks [0..R) -> resident stack (int8 when mode="int8");
+      trunk blocks [R..N) and vace blocks -> host numpy, streamed per block.
+    """
+
+    def __init__(self, dit_params, cfg: WanDiTConfig,
+                 vace_params=None, vace_cfg: Optional[VaceConfig] = None, *,
+                 mode: str = "int8", hbm_budget_gb: float = 13.5,
+                 activation_headroom_gb: float = 2.5,
+                 resident_blocks: Optional[int] = None,
+                 prefetch_depth: int = 3, num_streams: int = 8,
+                 device=None):
+        if mode not in ("int8", "bf16"):
+            raise ValueError(f"unsupported streaming mode {mode!r}")
+        self.cfg = cfg
+        self.vace_cfg = vace_cfg
+        self.mode = mode
+        self.device = device if device is not None else jax.devices()[0]
+        self.loader = MultiStreamLoader(self.device, num_streams=num_streams)
+        self.prefetch_depth = prefetch_depth
+        self._jits: Dict[Any, Any] = {}
+
+        small = {k: v for k, v in dit_params.items() if k != "blocks"}
+        blocks_host = _to_host_np(dit_params["blocks"])
+        if mode == "int8":
+            blocks_host = host_quantize_int8(blocks_host)
+        n = jax.tree_util.tree_leaves(blocks_host)[0].shape[0]
+        self.num_layers = n
+        per_block = tree_bytes(blocks_host) / n
+
+        vace_small = None
+        vace_blocks_host = None
+        self.num_vace = 0
+        if vace_params is not None:
+            vace_small = {k: v for k, v in vace_params.items()
+                          if k not in ("blocks", "after_proj")}
+            vace_blocks_host = _to_host_np(
+                {"block": vace_params["blocks"],
+                 "after": vace_params["after_proj"]})
+            if mode == "int8":
+                vace_blocks_host = host_quantize_int8(vace_blocks_host)
+            self.num_vace = len(vace_cfg.vace_layers)
+
+        if resident_blocks is None:
+            budget = (hbm_budget_gb - activation_headroom_gb) * 1e9
+            budget -= tree_bytes(small) * 2  # small params + working copies
+            # prefetch pipeline holds depth+1 blocks plus one concat transient
+            budget -= (prefetch_depth + 2) * per_block
+            resident_blocks = max(0, min(n, int(budget // per_block)))
+        self.resident_blocks = resident_blocks
+
+        self.small = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, small), self.device)
+        self.vace_small = None
+        if vace_small is not None:
+            self.vace_small = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, vace_small), self.device)
+
+        if resident_blocks > 0:
+            resident_host = jax.tree_util.tree_map(
+                lambda x: x[:resident_blocks], blocks_host)
+            self.resident = self.loader.put(resident_host).get()
+        else:
+            self.resident = None
+        self.streamed_host = split_host_blocks(blocks_host, resident_blocks, n)
+
+        self.vace_resident = None
+        self.vace_streamed_host = None
+        if vace_blocks_host is not None:
+            vace_bytes = tree_bytes(vace_blocks_host)
+            spare = (hbm_budget_gb - activation_headroom_gb) * 1e9 \
+                - (resident_blocks * per_block) - tree_bytes(small) * 2 \
+                - (prefetch_depth + 2) * per_block
+            if spare >= vace_bytes and resident_blocks == n:
+                self.vace_resident = self.loader.put(vace_blocks_host).get()
+            else:
+                self.vace_streamed_host = split_host_blocks(
+                    vace_blocks_host, 0, self.num_vace)
+
+    # ------------------------------------------------------------------
+    # jitted pieces (cached; shapes key the executables via jax.jit)
+    # ------------------------------------------------------------------
+
+    def _jit(self, name, fn, **kw):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn, **kw)
+        return self._jits[name]
+
+    def _embed(self, latents, timestep, context, clip_feature, y,
+               rope_indices=None):
+        cfg = self.cfg
+        ri = None if rope_indices is None else np.asarray(rope_indices)
+        key = ("embed", clip_feature is not None, y is not None,
+               None if ri is None else tuple(ri.tolist()))
+        if key not in self._jits:
+            def fn(small, latents, timestep, context, clip_feature, y):
+                t, t_mod = M.time_embed(small, cfg, timestep)
+                ctx = M.text_embed(small, context)
+                if y is not None and cfg.require_vae_embedding:
+                    latents = jnp.concatenate(
+                        [latents, y.astype(latents.dtype)], axis=1)
+                if clip_feature is not None and cfg.require_clip_embedding:
+                    clip_emb = M.img_embed(small, clip_feature)
+                    ctx = jnp.concatenate([clip_emb, ctx], axis=1)
+                tokens, (f, h, w) = M.patchify(small["patch_embedding"],
+                                               latents, cfg.patch_size)
+                cos, sin = assemble_freqs_grid(cfg.head_dim, f, h, w, ri)
+                return tokens, ctx, t, t_mod, cos, sin
+            self._jits[key] = jax.jit(fn)
+        tokens, ctx, t, t_mod, cos, sin = self._jits[key](
+            self.small, latents, timestep, context, clip_feature, y)
+        pt, ph, pw = cfg.patch_size
+        grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+                latents.shape[4] // pw)
+        return tokens, ctx, t, t_mod, cos, sin, grid
+
+    def _vace_embed(self, vace_context, tokens):
+        vcfg = self.vace_cfg
+
+        def fn(vace_small, vace_context, tokens):
+            c, _ = M.patchify(vace_small["patch_embedding"], vace_context,
+                              vcfg.patch_size)
+            s_x, s_c = tokens.shape[1], c.shape[1]
+            if s_c < s_x:
+                c = jnp.pad(c, ((0, 0), (0, s_x - s_c), (0, 0)))
+            return linear(vace_small["before_proj"], c) + tokens
+
+        return self._jit("vace_embed", fn)(self.vace_small, vace_context, tokens)
+
+    def _run_block(self, block_p, x, ctx, t_mod, cos, sin):
+        cfg = self.cfg
+
+        def fn(block_p, x, ctx, t_mod, cos, sin):
+            def scan_fn(carry, layer_p):
+                return M.dit_block(layer_p, carry, ctx, t_mod, cos, sin, cfg), None
+            x, _ = jax.lax.scan(scan_fn, x, block_p)
+            return x
+
+        return self._jit("block", fn, donate_argnums=(1,))(
+            block_p, x, ctx, t_mod, cos, sin)
+
+    def _run_vace_block(self, vb, c, ctx, t_mod, cos, sin):
+        bcfg = self.vace_cfg.block_cfg()
+
+        def fn(vb, c, ctx, t_mod, cos, sin):
+            def scan_fn(carry, layer_p):
+                carry = M.dit_block(layer_p["block"], carry, ctx, t_mod,
+                                    cos, sin, bcfg)
+                return carry, linear(layer_p["after"], carry)
+            c, hints = jax.lax.scan(scan_fn, c, vb)
+            return c, hints[0]
+
+        return self._jit("vace_block", fn, donate_argnums=(1,))(
+            vb, c, ctx, t_mod, cos, sin)
+
+    def _inject(self, x, hint, scale):
+        def fn(x, hint, scale):
+            return x + hint.astype(x.dtype) * scale
+        return self._jit("inject", fn, donate_argnums=(0,))(x, hint, scale)
+
+    def _head(self, x, t, grid):
+        cfg = self.cfg
+
+        def fn(small, x, t):
+            out = M.head(small, cfg, x, t)
+            return out
+
+        out = self._jit("head", fn)(self.small, x, t)
+        return M.unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def forward(self, latents, timestep, context, vace_context=None,
+                vace_scale=1.0, clip_feature=None, y=None,
+                rope_indices=None, want_residual: bool = False):
+        """Full DiT forward with streamed blocks.
+
+        Matches wan_dit_forward / the pipeline `full` fn numerically
+        (same per-block math; only the walk order of the independent VACE
+        chain differs). Returns (velocity, t_mod, residual-or-None).
+        """
+        use_vace = vace_context is not None and self.vace_cfg is not None
+        tokens, ctx, t, t_mod, cos, sin, grid = self._embed(
+            latents, timestep, context, clip_feature, y, rope_indices)
+        vace_scale = jnp.asarray(vace_scale, jnp.float32)
+
+        c = self._vace_embed(vace_context, tokens) if use_vace else None
+        # explicit copy: `tokens` itself is donated into the first block call
+        tokens_pre = jnp.copy(tokens) if want_residual else None
+
+        # Build the streamed-item schedule in program order: trunk block j
+        # at position j; vace block i right after trunk layer vace_layers[i].
+        schedule: List[Tuple[str, int]] = []
+        vace_layers = self.vace_cfg.vace_layers if use_vace else ()
+        vi = 0
+        for j in range(self.num_layers):
+            schedule.append(("trunk", j))
+            if vi < len(vace_layers) and vace_layers[vi] == j:
+                schedule.append(("vace", vi))
+                vi += 1
+
+        host_items = []
+        for kind, idx in schedule:
+            if kind == "trunk" and idx >= self.resident_blocks:
+                host_items.append(self.streamed_host[idx - self.resident_blocks])
+            elif kind == "vace" and self.vace_streamed_host is not None:
+                host_items.append(self.vace_streamed_host[idx])
+        queue = (PrefetchQueue(host_items, self.loader, self.prefetch_depth)
+                 if host_items else None)
+
+        x = tokens
+        si = 0
+        while si < len(schedule):
+            kind, idx = schedule[si]
+            if kind == "trunk" and idx < self.resident_blocks:
+                # coalesce a contiguous resident run into one scan call
+                start = idx
+                while (si + 1 < len(schedule)
+                       and schedule[si + 1][0] == "trunk"
+                       and schedule[si + 1][1] < self.resident_blocks):
+                    si += 1
+                stop = schedule[si][1] + 1
+                seg = M.slice_blocks(self.resident, start, stop)
+                x = self._run_block(seg, x, ctx, t_mod, cos, sin)
+            elif kind == "trunk":
+                pending, block = queue.pop()
+                x = self._run_block(block, x, ctx, t_mod, cos, sin)
+                pending.delete()
+            else:  # vace
+                if self.vace_resident is not None:
+                    vb = jax.tree_util.tree_map(
+                        lambda a: a[idx:idx + 1], self.vace_resident)
+                    c, hint = self._run_vace_block(vb, c, ctx, t_mod, cos, sin)
+                else:
+                    pending, vb = queue.pop()
+                    c, hint = self._run_vace_block(vb, c, ctx, t_mod, cos, sin)
+                    pending.delete()
+                x = self._inject(x, hint, vace_scale)
+            si += 1
+
+        residual = None
+        if want_residual:
+            residual = x - tokens_pre
+        v = self._head(x, t, grid)
+        return v, t_mod, residual
+
+    def t_mod_only(self, timestep):
+        """TeaCache probe (pipelines/wan_video.py TeaCache.check input)."""
+        cfg = self.cfg
+
+        def fn(small, timestep):
+            _, t_mod = M.time_embed(small, cfg, timestep)
+            return t_mod
+
+        return self._jit("t_mod_only", fn)(self.small, timestep)
+
+    def skip_forward(self, latents, timestep, context, residual, y=None):
+        """TeaCache skip path: replay the cached trunk residual
+        (wan_video_new.py:1418-1419,1455-1456) without touching the blocks."""
+        cfg = self.cfg
+        key = ("skip", y is not None)
+        if key not in self._jits:
+            def fn(small, latents, timestep, context, residual, y):
+                t, _ = M.time_embed(small, cfg, timestep)
+                if y is not None and cfg.require_vae_embedding:
+                    latents = jnp.concatenate(
+                        [latents, y.astype(latents.dtype)], axis=1)
+                tokens, (f, h, w) = M.patchify(small["patch_embedding"],
+                                               latents, cfg.patch_size)
+                tokens = tokens + residual
+                out = M.head(small, cfg, tokens, t)
+                return out
+            self._jits[key] = jax.jit(fn)
+        out = self._jits[key](self.small, latents, timestep, context,
+                              residual, y)
+        pt, ph, pw = cfg.patch_size
+        grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+                latents.shape[4] // pw)
+        return M.unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+
+    # diagnostics ------------------------------------------------------
+
+    def plan_summary(self) -> dict:
+        streamed_bytes = sum(tree_bytes(b) for b in self.streamed_host)
+        if self.vace_streamed_host is not None:
+            streamed_bytes += sum(tree_bytes(b) for b in self.vace_streamed_host)
+        return {
+            "mode": self.mode,
+            "num_layers": self.num_layers,
+            "resident_blocks": self.resident_blocks,
+            "vace_resident": self.vace_resident is not None,
+            "resident_gb": (tree_bytes(self.resident) / 1e9
+                            if self.resident is not None else 0.0)
+                           + (tree_bytes(self.vace_resident) / 1e9
+                              if self.vace_resident is not None else 0.0),
+            "streamed_gb_per_pass": streamed_bytes / 1e9,
+        }

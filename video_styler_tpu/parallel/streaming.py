@@ -1,0 +1,178 @@
+"""Host-resident parameter streaming — the TPU analog of vram_management.
+
+The reference runs Wan-14B on an 11 GB GPU by wrapping every leaf layer in a
+3-state onload/offload FSM that copies weights CPU->GPU per call
+(/root/reference/diffsynth/vram_management/layers.py:95-188, per-model maps at
+pipelines/wan_video_new.py:124-310). The TPU-native equivalent implemented
+here works at DiT-block granularity over scan-stacked param pytrees:
+
+  * a block stack is split into a device-RESIDENT prefix (optionally
+    int8-quantized so more blocks fit HBM) and a host-resident remainder
+    kept as numpy arrays;
+  * during a forward pass the host blocks are prefetched ahead of compute
+    with a multi-stream async `jax.device_put` (PrefetchQueue), so the
+    transfer of block i+1..i+depth overlaps block i's compute;
+  * streamed device buffers are dropped (`.delete()`) as soon as their
+    block finishes, keeping the streamed working set at `depth` blocks.
+
+Multi-stream transfer matters: one `device_put` stream measures ~0.25 GB/s
+on this host link while 8 concurrent streams aggregate ~1.3 GB/s (probed in
+tools/probe_transfer.py); leaves larger than `chunk_bytes` are split along
+their leading (stacked-layer) axis and reassembled on device.
+"""
+from __future__ import annotations
+
+import math
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "tree_bytes", "tree_to_host", "host_quantize_int8", "MultiStreamLoader",
+    "PrefetchQueue", "split_host_blocks",
+]
+
+
+def tree_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+
+def tree_to_host(tree):
+    """Device pytree -> numpy pytree (single bulk device->host transfer each)."""
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def host_quantize_int8(tree, min_size: int = 1 << 16, min_dim: int = 128):
+    """Numpy mirror of ops.quant.quantize_params (int8 mode) for host stores.
+
+    Rewrites linear leaves {"w": ...} into {"w_q", "w_scale"} with
+    per-output-channel absmax scales, without touching the device.
+    """
+    def is_linear(node):
+        return (isinstance(node, dict) and "w" in node
+                and not isinstance(node["w"], dict)
+                and getattr(node["w"], "ndim", 0) >= 2)
+
+    def walk(node):
+        if is_linear(node):
+            w = np.asarray(node["w"])
+            if (w.ndim not in (2, 3) or w.size < min_size
+                    or w.shape[-1] < min_dim or w.shape[-2] < min_dim):
+                return node
+            wf = w.astype(np.float32)
+            scale = np.maximum(np.abs(wf).max(axis=-2, keepdims=True) / 127.0, 1e-8)
+            q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+            out = {k: v for k, v in node.items() if k != "w"}
+            out["w_q"], out["w_scale"] = q, scale.astype(np.float32)
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)
+
+
+def split_host_blocks(stacked_host, start: int, stop: int) -> List[Any]:
+    """Stacked host pytree -> per-block host pytrees for blocks [start, stop).
+
+    Slices keep a leading axis of length 1 so the same scan-shaped apply
+    functions work on both resident stacks and streamed single blocks.
+    """
+    out = []
+    for i in range(start, stop):
+        out.append(jax.tree_util.tree_map(
+            lambda x: np.ascontiguousarray(x[i:i + 1]), stacked_host))
+    return out
+
+
+class MultiStreamLoader:
+    """Async host->device pytree transfer over a thread pool.
+
+    `put(tree)` returns a PendingTree; `.get()` blocks until every leaf is on
+    device. Leaves above `chunk_bytes` are split along axis 0 (when it has
+    more than one element) and concatenated back on device.
+    """
+
+    def __init__(self, device=None, num_streams: int = 8,
+                 chunk_bytes: int = 96 << 20):
+        self.device = device if device is not None else jax.devices()[0]
+        self.pool = ThreadPoolExecutor(max_workers=num_streams)
+        self.chunk_bytes = chunk_bytes
+
+    def _put_leaf(self, leaf) -> Tuple[str, List[Future]]:
+        nbytes = leaf.size * leaf.dtype.itemsize
+        if leaf.ndim >= 1 and leaf.shape[0] > 1 and nbytes > self.chunk_bytes:
+            n_chunks = min(leaf.shape[0], math.ceil(nbytes / self.chunk_bytes))
+            parts = np.array_split(leaf, n_chunks, axis=0)
+            return "concat", [self.pool.submit(jax.device_put, p, self.device)
+                              for p in parts]
+        return "whole", [self.pool.submit(jax.device_put, leaf, self.device)]
+
+    def put(self, tree) -> "PendingTree":
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        pending = [self._put_leaf(np.asarray(x)) for x in leaves]
+        return PendingTree(treedef, pending)
+
+
+class PendingTree:
+    def __init__(self, treedef, pending):
+        self.treedef = treedef
+        self.pending = pending
+        self._result = None
+
+    def get(self):
+        if self._result is None:
+            leaves = []
+            for kind, futs in self.pending:
+                parts = [f.result() for f in futs]
+                leaves.append(parts[0] if kind == "whole"
+                              else jnp.concatenate(parts, axis=0))
+            self._result = jax.tree_util.tree_unflatten(self.treedef, leaves)
+            self.pending = None
+        return self._result
+
+    def delete(self):
+        """Free the device buffers (safe once the consuming computation has
+        been dispatched — jax keeps buffers alive until executed use)."""
+        if self._result is not None:
+            for x in jax.tree_util.tree_leaves(self._result):
+                try:
+                    x.delete()
+                except Exception:
+                    pass
+            self._result = None
+
+
+class PrefetchQueue:
+    """Keeps `depth` upcoming host pytrees in flight on a MultiStreamLoader.
+
+    Items are consumed strictly in the order of `host_items`; `pop()` returns
+    the device pytree for the next item and tops the pipeline back up.
+    """
+
+    def __init__(self, host_items: Sequence[Any], loader: MultiStreamLoader,
+                 depth: int = 3):
+        self.items = list(host_items)
+        self.loader = loader
+        self.depth = depth
+        self.inflight: List[PendingTree] = []
+        self.next_submit = 0
+        self._fill()
+
+    def _fill(self):
+        while (self.next_submit < len(self.items)
+               and len(self.inflight) < self.depth):
+            self.inflight.append(self.loader.put(self.items[self.next_submit]))
+            self.next_submit += 1
+
+    def pop(self):
+        pending = self.inflight.pop(0)
+        tree = pending.get()
+        self._fill()
+        return pending, tree

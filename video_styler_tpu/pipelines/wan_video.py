@@ -233,6 +233,39 @@ class WanVideoPipeline:
             set_quantized_attention(True)
         self._jit_cache.clear()
 
+    def enable_block_streaming(self, mode: str = "int8",
+                               hbm_budget_gb: float = 13.5,
+                               target: str = "dit", **kw):
+        """Run a DiT bigger than HBM — the vram_management capability
+        (reference layers.py:95-188 streams every layer CPU->GPU so the
+        fp8 14B VACE edit fits 11 GB; README.md:78). Here: as many blocks
+        as fit `hbm_budget_gb` stay resident (int8 by default), the rest
+        live in host RAM and are multi-stream-prefetched per block,
+        overlapped with compute (models/wan_streaming.py).
+
+        Must run after LoRA merging. Animate/FunCamera/FunReference
+        conditioning is not routed through the streamer."""
+        from ..models.wan_streaming import WanBlockStreamer
+        params = getattr(self, f"{target}_params")
+        if params is None:
+            raise ValueError(f"no params loaded for target {target!r}")
+        cfg = self.dit_cfg if target == "dit" else self.dit2_cfg
+        vace = self.vace_params if target == "dit" else self.vace2_params
+        streamer = WanBlockStreamer(params, cfg, vace, self.vace_cfg,
+                                    mode=mode, hbm_budget_gb=hbm_budget_gb,
+                                    **kw)
+        if not hasattr(self, "_streamers"):
+            self._streamers = {}
+        self._streamers[target] = streamer
+        # free the fully-resident device copies (the streamer owns its own)
+        setattr(self, f"{target}_params", None)
+        if target == "dit":
+            self.vace_params = None
+        else:
+            self.vace2_params = None
+        self._jit_cache.clear()
+        return streamer.plan_summary()
+
     def load_lora(self, target: str = "dit", path: Optional[str] = None,
                   state_dict=None, alpha: float = 1.0,
                   hotload: bool = False):
@@ -603,6 +636,27 @@ class WanVideoPipeline:
         if use_animate and (use_ref or use_camera):
             raise ValueError("animate conditioning cannot combine with "
                              "FunReference/FunCameraControl")
+        streamer = getattr(self, "_streamers", {}).get(which)
+        if streamer is not None:
+            if use_animate or use_motion or use_camera or use_ref:
+                raise ValueError("block streaming supports the T2V/VACE/I2V/"
+                                 "editor paths; per-layer adapter "
+                                 "conditioning needs the resident path")
+            if tea_cache is not None:
+                t_mod = streamer.t_mod_only(timestep)
+                if tea_cache.check(t_mod) and \
+                        tea_cache.previous_residual is not None:
+                    return streamer.skip_forward(
+                        latents, timestep, context,
+                        tea_cache.previous_residual, y)
+            v, _, residual = streamer.forward(
+                latents, timestep, context, vace_context,
+                jnp.asarray(vace_scale, jnp.float32), clip_feature, y,
+                rope_indices=rope_indices,
+                want_residual=tea_cache is not None)
+            if tea_cache is not None:
+                tea_cache.store(residual)
+            return v
         full, skip, t_mod_only = self._model_fns(which, use_vace, rope_indices,
                                                  use_image, use_animate,
                                                  use_motion, use_camera, use_ref)
