@@ -1,0 +1,268 @@
+"""Measured Wan2.1-VACE-14B runs on ONE chip via host block streaming.
+
+Kills the round-2 asterisk: instead of extrapolating from a 4-layer stack,
+this builds the REAL 48-block model (40 trunk + 8 VACE blocks at dim 5120 /
+40 heads / ffn 13824), keeps what fits HBM resident and streams the rest
+from host RAM with multi-stream prefetch (models/wan_streaming.py — the
+reference vram_management capability, layers.py:95-188), then measures:
+
+  * per-pass wall time of the full 48-block forward at the Ditto edit shape
+    (480x832x73 -> 29,640 tokens), CFG-merged batch 2;
+  * the full int8 4-step recipe (the baseline's own ComfyUI configuration:
+    quantized 14B + distill LoRA, 4 steps) end-to-end in ONE process:
+    umT5-xxl encode -> 2x VAE encode (VACE inactive/reactive) -> 4 denoise
+    steps -> VAE decode, sequential on the chip;
+  * one bf16 streamed pass for the 50-step full-quality composition.
+
+Weights are random-filled at full size (no public checkpoints in this
+offline environment); timing on TPU is value-independent.
+
+Usage: python tools/measure_14b.py [--resident 16] [--steps 4]
+       [--skip-bf16] [--tiny] [--out /tmp/m14b.json]
+"""
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _log(msg):
+    print(f"[14b {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def build_host_dit(cfg, vcfg, mode: str, seed: int = 0):
+    """Full-size host param store, blocks pre-quantized for int8 mode.
+
+    Weight VALUES are random fills (timing is value-independent on TPU);
+    the structure exactly matches init_wan_dit/init_vace so the streamer
+    and jitted pieces see the production pytrees.
+    """
+    import numpy as np
+    import ml_dtypes
+    import jax
+    import jax.numpy as jnp
+    from video_styler_tpu.models.wan_dit import init_wan_dit, init_dit_block
+    from video_styler_tpu.models.wan_vace import init_vace
+
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+
+    def host_block(template):
+        """One block's host params; int8 leaves quantized directly."""
+        def walk(node):
+            if isinstance(node, dict) and "w" in node and \
+                    getattr(node["w"], "ndim", 0) >= 2 and \
+                    node["w"].shape[-1] >= 128 and node["w"].shape[-2] >= 128 \
+                    and mode == "int8":
+                out = {"w_q": rng.integers(-127, 127, node["w"].shape,
+                                           dtype=np.int8),
+                       "w_scale": np.full(node["w"].shape[:-2] +
+                                          (1, node["w"].shape[-1]),
+                                          1e-3, np.float32)}
+                if "b" in node:
+                    out["b"] = np.zeros(node["b"].shape, bf16)
+                return out
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return (rng.random(node.shape, dtype=np.float32) * 0.02 - 0.01
+                    ).astype(bf16)
+        return walk(template)
+
+    # eval_shape: structural templates without allocating 28 GB anywhere
+    tpl = jax.eval_shape(lambda k: init_wan_dit(k, cfg, dtype=jnp.bfloat16),
+                         jax.random.PRNGKey(0))
+    vtpl = None
+    if vcfg is not None:
+        vtpl = jax.eval_shape(lambda k: init_vace(k, vcfg, dtype=jnp.bfloat16),
+                              jax.random.PRNGKey(1))
+
+    t0 = time.time()
+    dit = host_block(tpl)
+    vace = host_block(vtpl) if vtpl is not None else None
+    _log(f"host store built in {time.time()-t0:.0f}s "
+         f"(mode={mode})")
+    return dit, vace
+
+
+def measure(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from video_styler_tpu.models.wan_dit import WanDiTConfig, WAN_T2V_14B
+    from video_styler_tpu.models.wan_vace import VaceConfig, VACE_14B
+    from video_styler_tpu.models.wan_streaming import WanBlockStreamer
+
+    out = {"device": str(jax.devices()[0])}
+
+    if args.tiny:
+        cfg = WanDiTConfig(dim=256, in_dim=16, ffn_dim=512, out_dim=16,
+                           num_heads=2, num_layers=8, text_dim=128)
+        vcfg = VaceConfig(vace_layers=(0, 4), dim=256, num_heads=2,
+                          ffn_dim=512)
+        lat_shape = (2, 16, 3, 16, 16)
+        ctx_shape = (2, 32, cfg.text_dim)
+    else:
+        cfg, vcfg = WAN_T2V_14B, VACE_14B
+        # 73f 480x832 -> latent (16, 19, 60, 104) -> 29,640 tokens; batch 2
+        # is the CFG-merged posi+nega branch pair (CfgMerger,
+        # wan_video_new.py:951-969)
+        lat_shape = (2, 16, 19, 60, 104)
+        ctx_shape = (2, 512, cfg.text_dim)
+
+    # ---------------- stage 1: umT5-xxl encode (measured) ----------------
+    if not args.tiny:
+        from video_styler_tpu.models.t5 import UMT5_XXL, init_t5, t5_encode
+        t5c = UMT5_XXL
+        t5p = init_t5(jax.random.PRNGKey(0), t5c, dtype=jnp.bfloat16)
+        ids = jnp.zeros((1, 512), jnp.int32)
+        mask = jnp.ones((1, 512), jnp.int32)
+        f = jax.jit(lambda p, i, m: t5_encode(p, t5c, i, m))
+        _sync(f(t5p, ids, mask))
+        t0 = time.perf_counter()
+        _sync(f(t5p, ids, mask)); _sync(f(t5p, ids, mask))
+        out["t5_encode_ms"] = (time.perf_counter() - t0) / 2 * 1e3
+        _log(f"t5 {out['t5_encode_ms']:.0f} ms")
+        jax.tree_util.tree_map(lambda x: x.delete(), t5p)
+        del t5p; gc.collect()
+
+    # ---------------- stage 2: VAE encode x2 + decode (measured) ---------
+    if not args.tiny:
+        import video_styler_tpu.models.wan_vae as V
+        vaec = V.WAN21_VAE
+        vaep = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            V.init_wan_vae(jax.random.PRNGKey(0), vaec))
+        video = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 73, 480, 832),
+                                  jnp.bfloat16)
+        lat = V.encode(vaep, video, vaec, tiled=True); _sync(lat)  # compile
+        t0 = time.perf_counter()
+        lat = V.encode(vaep, video, vaec, tiled=True); _sync(lat)
+        enc_ms = (time.perf_counter() - t0) * 1e3
+        outv = V.decode(vaep, lat.astype(jnp.bfloat16), vaec, tiled=True)
+        _sync(outv)  # compile
+        t0 = time.perf_counter()
+        outv = V.decode(vaep, lat.astype(jnp.bfloat16), vaec, tiled=True)
+        _sync(outv)
+        dec_ms = (time.perf_counter() - t0) * 1e3
+        out["vae_encode_ms"] = enc_ms
+        out["vae_decode_ms"] = dec_ms
+        _log(f"vae enc {enc_ms:.0f} ms dec {dec_ms:.0f} ms")
+        del video, outv, lat
+        jax.tree_util.tree_map(lambda x: x.delete(), vaep)
+        del vaep; gc.collect()
+
+    # ---------------- stage 3: int8 streamed 14B+VACE denoise ------------
+    dit_host, vace_host = build_host_dit(cfg, vcfg, "int8")
+    streamer = WanBlockStreamer(
+        dit_host, cfg, vace_host, vcfg, mode="int8",
+        resident_blocks=args.resident, prefetch_depth=args.prefetch,
+        num_streams=args.streams)
+    out["plan_int8"] = streamer.plan_summary()
+    _log(f"plan: {out['plan_int8']}")
+
+    lat = jax.random.normal(jax.random.PRNGKey(2), lat_shape, jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), ctx_shape, jnp.bfloat16)
+    vctx = jax.random.normal(jax.random.PRNGKey(4),
+                             (lat_shape[0], 96) + lat_shape[2:], jnp.bfloat16)
+    ts = jnp.asarray([800.0], jnp.float32)
+
+    t0 = time.perf_counter()
+    v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
+    _sync(v)
+    out["int8_pass_compile_s"] = time.perf_counter() - t0
+    _log(f"int8 warmup (compile) {out['int8_pass_compile_s']:.0f}s")
+
+    pass_times = []
+    step_lat = lat
+    t_recipe0 = time.perf_counter()
+    for step in range(args.steps):
+        t0 = time.perf_counter()
+        v, _, _ = streamer.forward(step_lat, ts, ctx, vace_context=vctx)
+        _sync(v)
+        pass_times.append(time.perf_counter() - t0)
+        _log(f"step {step}: {pass_times[-1]:.1f}s")
+        # Euler step on the merged batch (posi half drives; timing-neutral)
+        step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
+    out["int8_denoise_s"] = time.perf_counter() - t_recipe0
+    out["int8_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
+    out["int8_pass_times"] = pass_times
+
+    del streamer, v, step_lat
+    gc.collect()
+
+    # ---------------- stage 4: bf16 streamed pass ------------------------
+    if not args.skip_bf16:
+        del dit_host, vace_host
+        gc.collect()
+        dit_host, vace_host = build_host_dit(cfg, vcfg, "bf16")
+        streamer = WanBlockStreamer(
+            dit_host, cfg, vace_host, vcfg, mode="bf16",
+            resident_blocks=args.resident_bf16, prefetch_depth=args.prefetch,
+            num_streams=args.streams)
+        out["plan_bf16"] = streamer.plan_summary()
+        t0 = time.perf_counter()
+        v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
+        _sync(v)
+        out["bf16_pass_compile_s"] = time.perf_counter() - t0
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
+            _sync(v)
+            times.append(time.perf_counter() - t0)
+            _log(f"bf16 pass {times[-1]:.1f}s")
+        out["bf16_pass_s"] = min(times)
+        del streamer, v
+        gc.collect()
+
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resident", type=int, default=16)
+    ap.add_argument("--resident-bf16", type=int, default=6)
+    ap.add_argument("--prefetch", type=int, default=3)
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default="/tmp/measure_14b.json")
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    out = measure(args)
+    if not args.tiny and "vae_encode_ms" in out:
+        # the Ditto VACE edit: 2 vace encodes (inactive/reactive masks,
+        # wan_video_new.py:861-920) + denoise + decode + T5
+        e2e = (out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
+               + out["int8_denoise_s"] + out["vae_decode_ms"] / 1e3)
+        out["recipe_video_s_measured"] = e2e
+        if "bf16_pass_s" in out:
+            out["bf16_50step_video_s_composed_from_measured_pass"] = (
+                out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
+                + 50 * out["bf16_pass_s"] + out["vae_decode_ms"] / 1e3)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

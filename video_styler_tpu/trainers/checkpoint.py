@@ -16,6 +16,9 @@ import jax
 
 def save_train_state(path: str, step: int, lora, opt_state, rng=None):
     import orbax.checkpoint as ocp
+    from ..parallel.distributed import is_main_process
+    if not is_main_process():
+        return path  # rank-0-only IO under multi-host
     path = os.path.abspath(path)
     ckpt = {
         "step": np.asarray(step),

@@ -30,6 +30,11 @@ class ModelLogger:
         return sd
 
     def _save(self, lora: Dict, name: str):
+        # rank-0-only IO under multi-host (reference: accelerator.
+        # is_main_process gating at trainers/utils.py:493-517)
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return
         from safetensors.numpy import save_file
         save_file(self._export(lora), os.path.join(self.output_path, name))
 
