@@ -39,12 +39,19 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def build_host_dit(cfg, vcfg, mode: str, seed: int = 0):
+def build_host_dit(cfg, vcfg, mode: str, seed: int = 0, alias: bool = True):
     """Full-size host param store, blocks pre-quantized for int8 mode.
 
     Weight VALUES are random fills (timing is value-independent on TPU);
     the structure exactly matches init_wan_dit/init_vace so the streamer
     and jitted pieces see the production pytrees.
+
+    alias=True materializes ONE physical block and aliases it across the
+    stacked-layer axis with numpy broadcast views (zero-copy). Transfer
+    bytes, compute, and HBM behavior are identical to a full store — only
+    host RAM differs, which matters here because this VM provisions
+    first-touch pages at ~MB/s (uffd-backed microVM memory): a full 17 GB
+    int8 store takes ~1 h to fault in, an aliased one seconds.
     """
     import numpy as np
     import ml_dtypes
@@ -56,25 +63,35 @@ def build_host_dit(cfg, vcfg, mode: str, seed: int = 0):
     rng = np.random.default_rng(seed)
     bf16 = ml_dtypes.bfloat16
 
-    def host_block(template):
-        """One block's host params; int8 leaves quantized directly."""
+    def host_block(template, alias_axis0: bool = False):
+        """Host params for a (possibly stacked) template; int8 leaves
+        quantized directly. With alias_axis0, only ONE slice along the
+        leading (stacked-layer) axis is materialized and broadcast."""
+        def fill(shape, kind):
+            if alias_axis0 and len(shape) >= 1:
+                one = fill(shape[1:], kind)
+                return np.broadcast_to(one, shape)
+            if kind == "q":
+                return rng.integers(-127, 127, shape, dtype=np.int8)
+            if kind == "scale":
+                return np.full(shape, 1e-3, np.float32)
+            return (rng.random(shape, dtype=np.float32) * 0.02 - 0.01
+                    ).astype(bf16)
+
         def walk(node):
             if isinstance(node, dict) and "w" in node and \
                     getattr(node["w"], "ndim", 0) >= 2 and \
                     node["w"].shape[-1] >= 128 and node["w"].shape[-2] >= 128 \
                     and mode == "int8":
-                out = {"w_q": rng.integers(-127, 127, node["w"].shape,
-                                           dtype=np.int8),
-                       "w_scale": np.full(node["w"].shape[:-2] +
-                                          (1, node["w"].shape[-1]),
-                                          1e-3, np.float32)}
+                out = {"w_q": fill(node["w"].shape, "q"),
+                       "w_scale": fill(node["w"].shape[:-2] +
+                                       (1, node["w"].shape[-1]), "scale")}
                 if "b" in node:
-                    out["b"] = np.zeros(node["b"].shape, bf16)
+                    out["b"] = fill(node["b"].shape, "f")
                 return out
             if isinstance(node, dict):
                 return {k: walk(v) for k, v in node.items()}
-            return (rng.random(node.shape, dtype=np.float32) * 0.02 - 0.01
-                    ).astype(bf16)
+            return fill(node.shape, "f")
         return walk(template)
 
     # eval_shape: structural templates without allocating 28 GB anywhere
@@ -86,10 +103,16 @@ def build_host_dit(cfg, vcfg, mode: str, seed: int = 0):
                               jax.random.PRNGKey(1))
 
     t0 = time.time()
-    dit = host_block(tpl)
-    vace = host_block(vtpl) if vtpl is not None else None
+    # alias only the scan-stacked subtrees (leading axis = layer)
+    dit = {k: host_block(v, alias_axis0=(alias and k == "blocks"))
+           for k, v in tpl.items()}
+    vace = None
+    if vtpl is not None:
+        vace = {k: host_block(v, alias_axis0=(alias and
+                                              k in ("blocks", "after_proj")))
+                for k, v in vtpl.items()}
     _log(f"host store built in {time.time()-t0:.0f}s "
-         f"(mode={mode})")
+         f"(mode={mode}, alias={alias})")
     return dit, vace
 
 
@@ -102,6 +125,10 @@ def measure(args):
     from video_styler_tpu.models.wan_streaming import WanBlockStreamer
 
     out = {"device": str(jax.devices()[0])}
+
+    def save():
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
     if args.tiny:
         cfg = WanDiTConfig(dim=256, in_dim=16, ffn_dim=512, out_dim=16,
@@ -131,6 +158,7 @@ def measure(args):
         _sync(f(t5p, ids, mask)); _sync(f(t5p, ids, mask))
         out["t5_encode_ms"] = (time.perf_counter() - t0) / 2 * 1e3
         _log(f"t5 {out['t5_encode_ms']:.0f} ms")
+        save()
         jax.tree_util.tree_map(lambda x: x.delete(), t5p)
         del t5p; gc.collect()
 
@@ -156,12 +184,14 @@ def measure(args):
         out["vae_encode_ms"] = enc_ms
         out["vae_decode_ms"] = dec_ms
         _log(f"vae enc {enc_ms:.0f} ms dec {dec_ms:.0f} ms")
+        save()
         del video, outv, lat
         jax.tree_util.tree_map(lambda x: x.delete(), vaep)
         del vaep; gc.collect()
 
     # ---------------- stage 3: int8 streamed 14B+VACE denoise ------------
-    dit_host, vace_host = build_host_dit(cfg, vcfg, "int8")
+    dit_host, vace_host = build_host_dit(cfg, vcfg, "int8",
+                                         alias=not args.full_store)
     streamer = WanBlockStreamer(
         dit_host, cfg, vace_host, vcfg, mode="int8",
         resident_blocks=args.resident, prefetch_depth=args.prefetch,
@@ -195,6 +225,7 @@ def measure(args):
     out["int8_denoise_s"] = time.perf_counter() - t_recipe0
     out["int8_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
     out["int8_pass_times"] = pass_times
+    save()
 
     del streamer, v, step_lat
     gc.collect()
@@ -203,7 +234,8 @@ def measure(args):
     if not args.skip_bf16:
         del dit_host, vace_host
         gc.collect()
-        dit_host, vace_host = build_host_dit(cfg, vcfg, "bf16")
+        dit_host, vace_host = build_host_dit(cfg, vcfg, "bf16",
+                                             alias=not args.full_store)
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode="bf16",
             resident_blocks=args.resident_bf16, prefetch_depth=args.prefetch,
@@ -221,6 +253,7 @@ def measure(args):
             times.append(time.perf_counter() - t0)
             _log(f"bf16 pass {times[-1]:.1f}s")
         out["bf16_pass_s"] = min(times)
+        save()
         del streamer, v
         gc.collect()
 
@@ -229,8 +262,12 @@ def measure(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--resident", type=int, default=16)
-    ap.add_argument("--resident-bf16", type=int, default=6)
+    ap.add_argument("--resident", type=int, default=0)
+    ap.add_argument("--full-store", action="store_true",
+                    help="materialize distinct weights for every block "
+                         "(slow first-touch on this VM); default aliases "
+                         "one block across layers, timing-identical")
+    ap.add_argument("--resident-bf16", type=int, default=0)
     ap.add_argument("--prefetch", type=int, default=3)
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)

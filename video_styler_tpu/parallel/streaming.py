@@ -84,10 +84,15 @@ def split_host_blocks(stacked_host, start: int, stop: int) -> List[Any]:
     Slices keep a leading axis of length 1 so the same scan-shaped apply
     functions work on both resident stacks and streamed single blocks.
     """
+    def slice1(x, i):
+        seg = x[i:i + 1]
+        # broadcast-aliased stores (bench alias mode) slice to views that
+        # are already C-contiguous; copying would defeat the aliasing
+        return seg if seg.flags["C_CONTIGUOUS"] else np.ascontiguousarray(seg)
+
     out = []
     for i in range(start, stop):
-        out.append(jax.tree_util.tree_map(
-            lambda x: np.ascontiguousarray(x[i:i + 1]), stacked_host))
+        out.append(jax.tree_util.tree_map(lambda x: slice1(x, i), stacked_host))
     return out
 
 

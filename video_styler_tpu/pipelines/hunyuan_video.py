@@ -104,15 +104,17 @@ class HunyuanVideoPipeline:
         return pipe
 
     def fetch_llm(self, model_path: str, tokenizer_path: str,
-                  template: Optional[str] = None):
-        """Serve LLaMA text features via transformers (the reference's
-        HunyuanVideoLLMEncoder is the same llama tower; the prompt template
-        with crop_start=95 matches hunyuan_video_prompter.py)."""
-        import torch
-        from transformers import AutoTokenizer, LlamaModel
+                  template: Optional[str] = None, backend: str = "native"):
+        """LLaMA text tower (the reference's HunyuanVideoLLMEncoder,
+        hunyuan_video_text_encoder.py:6-49; prompt template with
+        crop_start=95 from hunyuan_video_prompter.py:47).
+
+        backend="native" (default) runs the TPU-native decoder
+        (models/llm_decoder.py) with the reference's exact
+        hidden_state_skip_layer=2 semantics — layers [0..n-3], no final
+        norm. backend="transformers" keeps the host-torch fallback."""
+        from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer_path)
-        model = LlamaModel.from_pretrained(model_path,
-                                           torch_dtype=torch.float16).eval()
         if template is None:
             template = (
                 "<|start_header_id|>system<|end_header_id|>\n\nDescribe the "
@@ -126,6 +128,37 @@ class HunyuanVideoPipeline:
                 "video.<|eot_id|><|start_header_id|>user<|end_header_id|>"
                 "\n\n{}<|eot_id|>")
         crop_start = 95
+
+        if backend == "native":
+            import jax
+            from ..models.llm_decoder import (
+                convert_decoder_lm, decoder_lm_forward,
+                detect_decoder_lm_config)
+            from ..utils import ckpt as C
+            sd = C.load_state_dict_files(
+                model_path if isinstance(model_path, list) else [model_path])
+            cfg = detect_decoder_lm_config(sd, family="llama")
+            params = convert_decoder_lm(sd, cfg, dtype=self.dtype)
+            fwd = jax.jit(lambda p, i, m: decoder_lm_forward(
+                p, cfg, i, m, stop_skip_layers=2, final_norm=False))
+
+            def encode(prompt: str, max_length: int = 256):
+                text = template.format(prompt)
+                ids = tok(text, return_tensors="np", padding="max_length",
+                          max_length=max_length + crop_start, truncation=True)
+                hidden = fwd(params, jnp.asarray(ids["input_ids"]),
+                             jnp.asarray(ids["attention_mask"]))
+                emb = hidden[:, crop_start:].astype(self.dtype)
+                mask = ids["attention_mask"][:, crop_start:]
+                return emb, jnp.asarray(mask, jnp.int32)
+
+            self.llm = encode
+            return
+
+        import torch
+        from transformers import LlamaModel
+        model = LlamaModel.from_pretrained(model_path,
+                                           torch_dtype=torch.float16).eval()
 
         def encode(prompt: str, max_length: int = 256):
             text = template.format(prompt)

@@ -89,13 +89,51 @@ class QwenImagePipeline:
                 C.load_state_dict(vae_path))
         return pipe
 
-    def fetch_text_encoder(self, model_path: str, tokenizer_path: str):
-        """Serve Qwen2.5-VL text features via transformers (the reference's
-        QwenImageTextEncoder; template + drop_idx from
-        QwenImageUnit_PromptEmbedder, qwen_image.py:530-41)."""
-        import torch
-        from transformers import AutoTokenizer, AutoModelForCausalLM
+    def fetch_text_encoder(self, model_path: str, tokenizer_path: str,
+                           backend: str = "native"):
+        """Qwen2.5-VL text tower (the reference's QwenImageTextEncoder,
+        qwen_image_text_encoder.py:1-255; template + drop_idx from
+        QwenImageUnit_PromptEmbedder, qwen_image.py:530-41).
+
+        backend="native" (default) runs the TPU-native decoder
+        (models/llm_decoder.py) — text-only prompts make Qwen2.5-VL's
+        mRoPE equal to standard RoPE, and hidden_states[-1] includes the
+        final norm. backend="transformers" keeps the host-torch fallback."""
+        from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer_path)
+        if backend == "native":
+            import numpy as _np
+            import jax
+            from ..models.llm_decoder import (
+                convert_decoder_lm, decoder_lm_forward,
+                detect_decoder_lm_config)
+            from ..utils import ckpt as C
+            sd = C.load_state_dict_files(
+                model_path if isinstance(model_path, list) else [model_path])
+            sd = {k: v for k, v in sd.items() if "visual" not in k}
+            cfg = detect_decoder_lm_config(sd, family="qwen")
+            params = convert_decoder_lm(sd, cfg, dtype=self.dtype)
+            fwd = jax.jit(lambda p, i, m: decoder_lm_forward(p, cfg, i, m))
+
+            def encode(prompt: str):
+                txt = T2I_TEMPLATE.format(prompt)
+                ids = tok([txt], max_length=4096 + T2I_DROP_IDX, padding=True,
+                          truncation=True, return_tensors="np")
+                # pad to a multiple of 32 so jit shapes bucket
+                L = ids["input_ids"].shape[1]
+                pad = (-L) % 32
+                ii = _np.pad(ids["input_ids"], ((0, 0), (0, pad)))
+                mm = _np.pad(ids["attention_mask"], ((0, 0), (0, pad)))
+                hidden = fwd(params, jnp.asarray(ii), jnp.asarray(mm))
+                emb = hidden[:, T2I_DROP_IDX:L].astype(self.dtype)
+                mask = ids["attention_mask"][:, T2I_DROP_IDX:]
+                return emb, jnp.asarray(mask, jnp.int32)
+
+            self.text_encoder = encode
+            return
+
+        import torch
+        from transformers import AutoModelForCausalLM
         model = AutoModelForCausalLM.from_pretrained(
             model_path, torch_dtype=torch.float16).eval()
 
