@@ -41,12 +41,16 @@ def use_sharding(ctx: Optional[ShardingContext]):
         _state.ctx = prev
 
 
+_warned_drops = set()
+
+
 def constrain(x, *axes):
     """with_sharding_constraint under the active context; identity otherwise.
 
     Axis entries are mesh-axis names (or None). An axis whose size doesn't
     divide the corresponding mesh axis is dropped to None to stay safe on
-    ragged shapes.
+    ragged shapes — a silent perf cliff (the op serializes on that axis), so
+    the first drop per (axis, size) is logged once.
     """
     ctx = current_sharding()
     if ctx is None:
@@ -62,5 +66,15 @@ def constrain(x, *axes):
         elif x.shape[dim] % size == 0:
             fixed.append(ax)
         else:
+            key = (ax, size, x.shape[dim])
+            if key not in _warned_drops:
+                _warned_drops.add(key)
+                import warnings
+                warnings.warn(
+                    f"constrain: dim {dim} of shape {tuple(x.shape)} is not "
+                    f"divisible by mesh axis '{ax}' (size {size}); dropping "
+                    f"the sharding for this tensor — that axis serializes. "
+                    f"Pad the sequence or pick a divisible mesh.",
+                    stacklevel=2)
             fixed.append(None)
     return jax.lax.with_sharding_constraint(x, ctx.named(*fixed))
