@@ -119,15 +119,55 @@ def _geglu(p, x):
                            approximate=False).astype(a.dtype)
 
 
+def positional_id_map(num_frames: int, max_id: int = 25,
+                      repeat_length: int = 20, pivot: int = 0):
+    """ExVideo PositionalID (svd_unet.py:122-143): frames past max_id reflect
+    back and forth through the trained embedding table."""
+    import numpy as np
+
+    def one(frame_id):
+        if frame_id < max_id:
+            return frame_id
+        pid = (frame_id - max_id) % (repeat_length * 2)
+        if pid < repeat_length:
+            return max_id - 2 - pid
+        return max_id - 2 * repeat_length + pid
+
+    return np.asarray([one(abs(i - pivot)) for i in range(num_frames)],
+                      np.int32)
+
+
 def temporal_attention_block(p, x, text_emb, num_heads, head_dim: int = 64):
     """TemporalAttentionBlock (svd_unet.py:145-221): per-pixel attention over
     the frame axis with sinusoidal frame-position embeddings. x: (T, C, H, W);
-    text_emb: (1, L, C_ctx)."""
+    text_emb: (1, L, C_ctx).
+
+    With the ExVideo patch applied (add_positional_conv, svd_unet.py:155-157
+    + patch config model_config.py:197-199) the sinusoidal embedding becomes
+    a trained 128-frame table indexed through the reflecting PositionalID
+    map, followed by a reflect-padded 3x3x3 positional conv."""
     T, C, H, W = x.shape
-    pos = timestep_embedding_flip(jnp.arange(T), C).astype(x.dtype)
+    if "positional_embedding" in p and "embeddings" in p["positional_embedding"]:
+        # trained table indexed by arange (TrainableTemporalTimesteps.forward
+        # svd_unet.py:117-119; PositionalID only builds the initial table)
+        table = p["positional_embedding"]["embeddings"]
+        pos = table[:T].astype(x.dtype)
+    else:
+        pos = timestep_embedding_flip(jnp.arange(T), C).astype(x.dtype)
     pos = linear(p["positional_embedding_proj"]["2"],
                  _silu(linear(p["positional_embedding_proj"]["0"], pos)))
     h = x + pos[:, :, None, None]
+    if "positional_conv" in p:
+        h5 = h.transpose(1, 0, 2, 3)[None]                      # (1,C,T,H,W)
+        h5 = jnp.pad(h5, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)),
+                     mode="reflect")
+        h5 = jax.lax.conv_general_dilated(
+            h5, p["positional_conv"]["weight"].astype(h5.dtype), (1, 1, 1),
+            "VALID", dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            preferred_element_type=jnp.float32)
+        h5 = h5 + p["positional_conv"]["bias"].astype(jnp.float32)[
+            None, :, None, None, None]
+        h = h5[0].astype(h.dtype).transpose(1, 0, 2, 3)
     h = h.transpose(2, 3, 0, 1).reshape(H * W, T, C)
 
     res = h

@@ -205,7 +205,7 @@ def _convert_by_kind(kind: str, sd: Dict, dtype):
     if kind == "motion_modules":
         from ..models.motion import convert_motion_model
         return convert_motion_model(sd, dtype=dtype)
-    if kind in ("sd_unet", "svd_unet"):
+    if kind in ("sd_unet", "svd_unet", "svd_unet_exvideo"):
         from ..models.sd import convert_sd_module
         return convert_sd_module(sd, dtype)
     if kind == "ipadapter":
@@ -270,6 +270,8 @@ def detect_model_kind(sd: Dict) -> str:
     if any(k.startswith("transformer_blocks.") and "attn1.norm_q" in k
            for k in keys):
         return "qwen_image_dit"
+    if any(".positional_conv." in k for k in keys):
+        return "svd_unet_exvideo"   # ExVideo-SVD-128f patched UNet
     if any(".mix_factor" in k for k in keys):
         return "svd_unet"
     if any(k.startswith("input_blocks.") or k.startswith(
@@ -297,3 +299,14 @@ def detect_model_kind(sd: Dict) -> str:
         return "clip"
     raise ValueError(f"cannot detect model kind from keys like "
                      f"{sorted(list(keys))[:5]}")
+
+
+def apply_state_dict_patch(base_sd: Dict, patch_sd: Dict) -> Dict:
+    """FromPatchedSingleFile semantics (reference model_manager.py:232-312,
+    patch configs model_config.py:197-199): the patched model is the base
+    model rebuilt with the patch's extra modules (e.g. ExVideo's trained
+    128-frame positional tables + reflect convs) and the patch's finetuned
+    weights overlaid on the base weights."""
+    out = dict(base_sd)
+    out.update(patch_sd)
+    return out
