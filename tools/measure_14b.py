@@ -67,9 +67,13 @@ def build_host_dit(cfg, vcfg, mode: str, seed: int = 0, alias: bool = True):
         """Host params for a (possibly stacked) template; int8 leaves
         quantized directly. With alias_axis0, only ONE slice along the
         leading (stacked-layer) axis is materialized and broadcast."""
-        def fill(shape, kind):
-            if alias_axis0 and len(shape) >= 1:
-                one = fill(shape[1:], kind)
+        def fill(shape, kind, alias=None):
+            alias = alias_axis0 if alias is None else alias
+            if alias and len(shape) >= 1:
+                # materialize ONE real per-layer slice, broadcast along the
+                # stacked-layer axis only (further dims stay contiguous so
+                # split_host_blocks can alias without copying)
+                one = fill(shape[1:], kind, alias=False)
                 return np.broadcast_to(one, shape)
             if kind == "q":
                 return rng.integers(-127, 127, shape, dtype=np.int8)

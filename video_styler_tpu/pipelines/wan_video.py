@@ -40,20 +40,10 @@ from ..lora import merge_lora
 from ..prompters.wan_prompter import WanPrompter
 
 
-@dataclasses.dataclass
-class ModelConfig:
-    """Declarative weight source (utils/__init__.py:158-218 analog).
-
-    Only local paths here — no ModelScope download in this environment; pass
-    `path` (file or list of shard files).
-    """
-    path: Union[str, List[str], None] = None
-    model_kind: Optional[str] = None  # dit | dit2 | vace | vae | t5 | clip
-
-    def paths(self) -> List[str]:
-        if self.path is None:
-            return []
-        return [self.path] if isinstance(self.path, str) else list(self.path)
+# Declarative weight source shared by every pipeline: local paths or
+# model_id + origin_file_pattern through a pluggable transport
+# (utils/model_config.py, the reference utils/__init__.py:158-218 shape).
+from ..utils.model_config import ModelConfig  # noqa: F401 (re-export)
 
 
 def _preprocess_images(images, dtype=np.float32) -> np.ndarray:
@@ -162,6 +152,10 @@ class WanVideoPipeline:
             pipe._attach(kind, sd)
         if tokenizer_path is not None:
             pipe.prompter.fetch_tokenizer(tokenizer_path)
+        else:
+            # first-run tokenizer discovery from checkpoint sidecars
+            all_paths = [p for mc in model_configs for p in mc.paths()]
+            pipe.prompter.fetch_tokenizer_near(all_paths)
         if pipe.text_encoder_params is not None:
             pipe.prompter.fetch_models(pipe.text_encoder_params)
         return pipe

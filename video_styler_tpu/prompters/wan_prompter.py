@@ -51,6 +51,35 @@ class WanPrompter:
         from transformers import AutoTokenizer
         self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
 
+    def fetch_tokenizer_near(self, checkpoint_paths) -> bool:
+        """First-run tokenizer discovery: the reference vendors the umT5
+        tokenizer assets in-package (diffsynth/tokenizer_configs/,
+        setup.py:28); this build ships no third-party assets, so instead
+        look for tokenizer sidecars next to the loaded checkpoints —
+        <dir>/google/umt5-xxl/, <dir>/tokenizer/, or tokenizer files in the
+        checkpoint directory itself. Returns True when found."""
+        import os
+        roots = []
+        for p in checkpoint_paths or []:
+            d = os.path.dirname(os.path.abspath(p))
+            roots += [d, os.path.dirname(d)]
+        seen = set()
+        for root in roots:
+            if root in seen or not os.path.isdir(root):
+                continue
+            seen.add(root)
+            for sub in ("", "google/umt5-xxl", "umt5-xxl", "tokenizer"):
+                cand = os.path.join(root, sub) if sub else root
+                if any(os.path.isfile(os.path.join(cand, f))
+                       for f in ("tokenizer.json", "spiece.model",
+                                 "tokenizer_config.json")):
+                    try:
+                        self.fetch_tokenizer(cand)
+                        return True
+                    except Exception:
+                        continue
+        return False
+
     def fetch_models(self, text_encoder_params):
         self.text_encoder_params = text_encoder_params
 
