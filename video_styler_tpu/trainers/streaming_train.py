@@ -1,0 +1,300 @@
+"""Training with a streamed (bigger-than-HBM) trunk: LoRA on Wan+VACE.
+
+The reference trains Wan-14B LoRA on commodity GPUs by combining per-block
+gradient checkpointing with CPU activation offload
+(vram_management/gradient_checkpointing.py:1-34 `save_on_cpu`, used from
+pipelines/wan_video_new.py:1426-1440) and per-layer weight streaming. The
+TPU-native equivalent here:
+
+  * the frozen trunk's block weights live in host RAM and are streamed per
+    block by the WanBlockStreamer machinery — forward AND again, in reverse
+    order, for the backward;
+  * segment-boundary activations are offloaded to host during the forward
+    (the save_on_cpu analog) and brought back one at a time in the reverse
+    walk, so device memory holds O(1) blocks + O(1) activations;
+  * each block's backward is an isolated jax.vjp that recomputes the block
+    forward from its boundary input (per-block checkpointing) and yields
+    the carry cotangent plus — for LoRA-targeted blocks — the A/B grads.
+
+Gradients flow only into LoRA factors (trainers/lora_train.py pytrees);
+embeddings/head stay frozen, matching the reference recipe
+(freeze_except + peft inject, trainers/utils.py:445-477; Ditto trains VACE
+q,k,v,o,ffn rank 128 — train.sh:1-19).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import wan_dit as M
+from ..models.wan_streaming import WanBlockStreamer
+from ..ops.basic import linear
+from .lora_train import apply_lora
+
+
+def _slice_lora(lora: Optional[Dict], i: int):
+    if lora is None:
+        return None
+    return {path: {"A": ab["A"][i:i + 1], "B": ab["B"][i:i + 1]}
+            for path, ab in lora.items()}
+
+
+def _block_with_lora(base_block, lora_slice, scale: float):
+    """Materialize W + scale*A@B on the (1, in, out) stacked slice."""
+    if lora_slice is None:
+        return base_block
+    remap = {path.split(".", 1)[1]: ab for path, ab in lora_slice.items()
+             if path.startswith("blocks.")}
+    return apply_lora(base_block, remap, scale=scale)
+
+
+class StreamingTrainer:
+    """LoRA training step over a streamed trunk (+ optional VACE branch).
+
+    trunk LoRA paths: "blocks.<...>"; vace LoRA paths: "blocks.<...>" in
+    `vace_lora` (the VACE stack has its own block tree)."""
+
+    def __init__(self, streamer: WanBlockStreamer, lora_scale: float = 1.0):
+        self.s = streamer
+        self.scale = lora_scale
+        self._jits = {}
+
+    # ---------------- jitted pieces ----------------
+
+    def _jit(self, name, fn, **kw):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn, **kw)
+        return self._jits[name]
+
+    def _block_fwd(self, block_p, lora_i, x, ctx, t_mod, cos, sin):
+        cfg = self.s.cfg
+
+        def fn(block_p, lora_i, x, ctx, t_mod, cos, sin):
+            bp = _block_with_lora(block_p, lora_i, self.scale)
+
+            def scan_fn(carry, layer_p):
+                return M.dit_block(layer_p, carry, ctx, t_mod, cos, sin,
+                                   cfg), None
+            x, _ = jax.lax.scan(scan_fn, x, bp)
+            return x
+
+        key = ("bf", lora_i is not None)
+        return self._jit(key, fn)(block_p, lora_i, x, ctx, t_mod, cos, sin)
+
+    def _block_bwd(self, block_p, lora_i, x_in, ctx, t_mod, cos, sin, dx):
+        """Recompute-and-vjp one trunk block: returns (dx_in, dlora_i)."""
+        cfg = self.s.cfg
+        has_lora = lora_i is not None
+
+        def fn(block_p, lora_i, x_in, ctx, t_mod, cos, sin, dx):
+            def block(lora_i, x):
+                bp = _block_with_lora(block_p, lora_i, self.scale)
+
+                def scan_fn(carry, layer_p):
+                    return M.dit_block(layer_p, carry, ctx, t_mod, cos, sin,
+                                       cfg), None
+                x, _ = jax.lax.scan(scan_fn, x, bp)
+                return x
+
+            if has_lora:
+                _, vjp = jax.vjp(block, lora_i, x_in)
+                dlora, dx_in = vjp(dx)
+            else:
+                _, vjp = jax.vjp(lambda x: block(None, x), x_in)
+                (dx_in,) = vjp(dx)
+                dlora = None
+            return dx_in, dlora
+
+        key = ("bb", has_lora)
+        return self._jit(key, fn)(block_p, lora_i, x_in, ctx, t_mod, cos,
+                                  sin, dx)
+
+    def _vace_bwd(self, vb, lora_i, c_in, ctx, t_mod, cos, sin, d_c, d_hint):
+        bcfg = self.s.vace_cfg.block_cfg()
+        has_lora = lora_i is not None
+
+        def fn(vb, lora_i, c_in, ctx, t_mod, cos, sin, d_c, d_hint):
+            def block(lora_i, c):
+                bp = dict(vb)
+                if lora_i is not None:
+                    inner = {path.split(".", 1)[1]: ab
+                             for path, ab in lora_i.items()
+                             if path.startswith("blocks.")}
+                    bp = dict(bp)
+                    bp["block"] = apply_lora(vb["block"], inner, self.scale)
+
+                def scan_fn(carry, layer_p):
+                    carry = M.dit_block(layer_p["block"], carry, ctx, t_mod,
+                                        cos, sin, bcfg)
+                    return carry, linear(layer_p["after"], carry)
+                c, hints = jax.lax.scan(scan_fn, c, bp)
+                return c, hints[0]
+
+            if has_lora:
+                _, vjp = jax.vjp(block, lora_i, c_in)
+                dlora, dc_in = vjp((d_c, d_hint))
+            else:
+                _, vjp = jax.vjp(lambda c: block(None, c), c_in)
+                (dc_in,) = vjp((d_c, d_hint))
+                dlora = None
+            return dc_in, dlora
+
+        key = ("vb", has_lora)
+        return self._jit(key, fn)(vb, lora_i, c_in, ctx, t_mod, cos, sin,
+                                  d_c, d_hint)
+
+    def _head_loss(self, x, t, grid, target, weight):
+        cfg = self.s.cfg
+
+        def fn(small, x, t, target, weight):
+            out = M.head(small, cfg, x, t)
+            v = M.unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+            err = (v.astype(jnp.float32) - target.astype(jnp.float32))
+            return jnp.mean(jnp.square(err)) * weight
+
+        key = ("hl", grid)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(jax.value_and_grad(fn, argnums=1))
+        return self._jits[key](self.s.small, x, t, target, weight)
+
+    # ---------------- the step ----------------
+
+    def loss_and_grads(self, latents_noisy, timestep, context, target,
+                       vace_context=None, vace_scale: float = 1.0,
+                       trunk_lora: Optional[Dict] = None,
+                       vace_lora: Optional[Dict] = None,
+                       loss_weight: float = 1.0):
+        """-> (loss, trunk_lora_grads, vace_lora_grads).
+
+        Flow-match MSE against `target` (training_loss contract,
+        wan_video_new.py:108-121; target = noise - latents with the
+        scheduler's timestep weighting folded into loss_weight)."""
+        s = self.s
+        use_vace = vace_context is not None and s.vace_cfg is not None
+        tokens, ctx, t, t_mod, cos, sin, grid = s._embed(
+            latents_noisy, timestep, context, None, None)
+        vace_scale = jnp.asarray(vace_scale, jnp.float32)
+
+        c = s._vace_embed(vace_context, tokens) if use_vace else None
+
+        schedule = []
+        vace_layers = s.vace_cfg.vace_layers if use_vace else ()
+        vi = 0
+        for j in range(s.num_layers):
+            schedule.append(("trunk", j))
+            if vi < len(vace_layers) and vace_layers[vi] == j:
+                schedule.append(("vace", vi))
+                vi += 1
+
+        # ---------- forward with host-offloaded boundary activations ------
+        stash: Dict[int, np.ndarray] = {}
+        x = tokens
+        for si, (kind, idx) in enumerate(schedule):
+            if kind == "trunk":
+                stash[si] = np.asarray(x)        # save_on_cpu analog
+                bp = self._trunk_block(idx)
+                x = self._block_fwd(bp, _slice_lora(trunk_lora, idx), x,
+                                    ctx, t_mod, cos, sin)
+            else:
+                stash[si] = np.asarray(c)
+                vb = self._vace_block(idx)
+                c, hint = self._vace_fwd(vb, _slice_lora(vace_lora, idx),
+                                         c, ctx, t_mod, cos, sin)
+                x = x + hint.astype(x.dtype) * vace_scale
+
+        loss, dx = self._head_loss(x, t, grid, target,
+                                   jnp.asarray(loss_weight, jnp.float32))
+
+        # ---------- reverse walk: re-stream params, recompute, vjp --------
+        trunk_grads = {} if trunk_lora is not None else None
+        vace_grads = {} if vace_lora is not None else None
+        d_hints: Dict[int, jnp.ndarray] = {}
+        for si in reversed(range(len(schedule))):
+            kind, idx = schedule[si]
+            if kind == "vace":
+                d_hints[idx] = (dx * vace_scale)
+                continue
+            bp = self._trunk_block(idx)
+            x_in = jnp.asarray(stash[si])
+            dx, dlora = self._block_bwd(bp, _slice_lora(trunk_lora, idx),
+                                        x_in, ctx, t_mod, cos, sin, dx)
+            if dlora is not None:
+                trunk_grads[idx] = dlora
+            del stash[si]
+
+        if use_vace:
+            d_c = jnp.zeros_like(c)
+            vace_sis = [si for si, (k, _) in enumerate(schedule)
+                        if k == "vace"]
+            for i in reversed(range(len(vace_layers))):
+                vb = self._vace_block(i)
+                c_in = jnp.asarray(stash[vace_sis[i]])
+                d_c, dlora = self._vace_bwd(vb, _slice_lora(vace_lora, i),
+                                            c_in, ctx, t_mod, cos, sin,
+                                            d_c, d_hints[i].astype(d_c.dtype))
+                if dlora is not None:
+                    vace_grads[i] = dlora
+
+        return (loss,
+                _restack(trunk_grads, trunk_lora),
+                _restack(vace_grads, vace_lora))
+
+    # ---------------- param access (resident or streamed) ----------------
+
+    def _trunk_block(self, idx: int):
+        s = self.s
+        if idx < s.resident_blocks:
+            return M.slice_blocks(s.resident, idx, idx + 1)
+        return self._put(s.streamed_host[idx - s.resident_blocks])
+
+    def _vace_block(self, idx: int):
+        s = self.s
+        if s.vace_resident is not None:
+            return jax.tree_util.tree_map(lambda a: a[idx:idx + 1],
+                                          s.vace_resident)
+        return self._put(s.vace_streamed_host[idx])
+
+    def _put(self, host_tree):
+        return self.s.loader.put(host_tree).get()
+
+    def _vace_fwd(self, vb, lora_i, c, ctx, t_mod, cos, sin):
+        bcfg = self.s.vace_cfg.block_cfg()
+
+        def fn(vb, lora_i, c, ctx, t_mod, cos, sin):
+            bp = vb
+            if lora_i is not None:
+                inner = {path.split(".", 1)[1]: ab
+                         for path, ab in lora_i.items()
+                         if path.startswith("blocks.")}
+                bp = dict(vb)
+                bp["block"] = apply_lora(vb["block"], inner, self.scale)
+
+            def scan_fn(carry, layer_p):
+                carry = M.dit_block(layer_p["block"], carry, ctx, t_mod,
+                                    cos, sin, bcfg)
+                return carry, linear(layer_p["after"], carry)
+            c, hints = jax.lax.scan(scan_fn, c, bp)
+            return c, hints[0]
+
+        key = ("vf", lora_i is not None)
+        return self._jit(key, fn)(vb, lora_i, c, ctx, t_mod, cos, sin)
+
+
+def _restack(grads: Optional[Dict[int, Dict]], lora: Optional[Dict]):
+    """Per-block grad slices -> stacked pytree matching the LoRA layout,
+    zero where a block had no grad contribution."""
+    if grads is None or lora is None:
+        return None
+    out = {}
+    for path, ab in lora.items():
+        A = np.zeros(ab["A"].shape, np.float32)
+        B = np.zeros(ab["B"].shape, np.float32)
+        for i, g in grads.items():
+            A[i] = np.asarray(g[path]["A"][0], np.float32)
+            B[i] = np.asarray(g[path]["B"][0], np.float32)
+        out[path] = {"A": jnp.asarray(A, ab["A"].dtype),
+                     "B": jnp.asarray(B, ab["B"].dtype)}
+    return out
