@@ -127,3 +127,38 @@ def test_quantize_attention_flag(monkeypatch):
         assert calls[-1] == "bf16"
     finally:
         set_quantized_attention(False)
+
+
+def test_fused_qkv_int8_matches_separate():
+    """fused_qkv_int8 must be bit-identical to three linear_int8 calls."""
+    import jax, jax.numpy as jnp, numpy as np
+    from video_styler_tpu.ops.quant import (
+        quantize_params, linear_int8, fused_qkv_int8)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    mk = lambda k: {"w": jax.random.normal(k, (128, 128), jnp.float32) * 0.05,
+                    "b": jax.random.normal(jax.random.fold_in(k, 1), (128,),
+                                           jnp.float32) * 0.01}
+    pq, pk, pv = (quantize_params({"l": mk(k)}, min_size=0, min_dim=0)["l"]
+                  for k in ks[:3])
+    x = jax.random.normal(ks[3], (2, 17, 128), jnp.float32)
+    want = [np.asarray(linear_int8(p, x)) for p in (pq, pk, pv)]
+    got = fused_qkv_int8(pq, pk, pv, x)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, np.asarray(g))
+
+
+def test_self_attention_int8_routes_fused():
+    import jax, jax.numpy as jnp, numpy as np
+    from video_styler_tpu.models.wan_dit import (
+        WAN_DIT_TINY, init_dit_block, dit_block)
+    from video_styler_tpu.ops.quant import quantize_params
+    cfg = WAN_DIT_TINY
+    blk = init_dit_block(jax.random.PRNGKey(0), cfg)
+    qblk = quantize_params(blk, min_size=0, min_dim=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, cfg.dim), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.dim), jnp.float32)
+    t_mod = jax.random.normal(jax.random.PRNGKey(3), (1, 6, cfg.dim), jnp.float32)
+    from video_styler_tpu.ops.rope import assemble_freqs_grid
+    cos, sin = assemble_freqs_grid(cfg.head_dim, 1, 3, 4)
+    out = dit_block(qblk, x, ctx, t_mod, cos, sin, cfg)
+    assert bool(jnp.isfinite(out).all())

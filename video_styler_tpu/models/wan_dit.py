@@ -188,9 +188,16 @@ def _split_mod(modulation, t_mod, n: int):
 
 def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
     b, s, d = x.shape
-    q = rms_norm(p["norm_q"], linear(p["q"], x), eps)
-    k = rms_norm(p["norm_k"], linear(p["k"], x), eps)
-    v = linear(p["v"], x)
+    if "w_q" in p["q"] and p["q"]["w_q"].dtype == jnp.int8:
+        # one activation quantize + one fused (S,in)@(in,3out) MXU call
+        from ..ops.quant import fused_qkv_int8
+        q0, k0, v = fused_qkv_int8(p["q"], p["k"], p["v"], x)
+        q = rms_norm(p["norm_q"], q0, eps)
+        k = rms_norm(p["norm_k"], k0, eps)
+    else:
+        q = rms_norm(p["norm_q"], linear(p["q"], x), eps)
+        k = rms_norm(p["norm_k"], linear(p["k"], x), eps)
+        v = linear(p["v"], x)
     q = rope_apply(q.reshape(b, s, num_heads, d // num_heads), cos, sin)
     k = rope_apply(k.reshape(b, s, num_heads, d // num_heads), cos, sin)
     v = v.reshape(b, s, num_heads, d // num_heads)

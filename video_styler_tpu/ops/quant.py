@@ -59,6 +59,52 @@ def linear_int8(p, x):
     return y.astype(x.dtype)
 
 
+def quantize_act_int8(x):
+    """Per-row dynamic activation quantization, factored out so several
+    linears sharing one input (q/k/v on the same modulated hidden state)
+    quantize it ONCE — the round-2 tuning notes identified the per-call
+    quantize passes as the gap between int8's 1.21x and the MXU's 2x."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                     1e-8)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def linear_int8_prequant(p, xq, xs, out_dtype):
+    """int8 linear on an already-quantized activation (see quantize_act_int8)."""
+    y = jax.lax.dot_general(
+        xq, p["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * p["w_scale"]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def fused_qkv_int8(pq, pk, pv, x):
+    """q/k/v as ONE int8 matmul on a runtime-concatenated weight: a single
+    activation quantize + a single (S, in) @ (in, 3*out) MXU call, split
+    after. Bit-identical to three separate linear_int8 calls (same
+    accumulation order per output column)."""
+    xq, xs = quantize_act_int8(x)
+    w = jnp.concatenate([pq["w_q"], pk["w_q"], pv["w_q"]], axis=-1)
+    s = jnp.concatenate([pq["w_scale"], pk["w_scale"], pv["w_scale"]], axis=-1)
+    y = jax.lax.dot_general(
+        xq, w, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * s
+    d = pq["w_q"].shape[-1]
+    yq, yk, yv = y[..., :d], y[..., d:2 * d], y[..., 2 * d:]
+    if "b" in pq:
+        yq = yq + pq["b"].astype(jnp.float32)
+    if "b" in pk:
+        yk = yk + pk["b"].astype(jnp.float32)
+    if "b" in pv:
+        yv = yv + pv["b"].astype(jnp.float32)
+    return (yq.astype(x.dtype), yk.astype(x.dtype), yv.astype(x.dtype))
+
+
 def linear_fp8(p, x):
     """fp8 storage path (reference fp8_linear semantics: clamp-to-1 row
     scale); the matmul accumulates in f32 — native fp8 MXU where available,
