@@ -92,3 +92,40 @@ def test_vae38_streaming_matches_full():
         got_v = np.asarray(V.vae38_decode_stream(params, z, cfg,
                                                  chunk_size=cs, clamp=False))
         np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_vae_matches_unsharded():
+    """GSPMD width-sharded VAE (the mesh replacement for the reference's
+    spatial tiling) must match the single-device result."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _tiny_vae_params
+    import jax.numpy as jnp
+    import numpy as np
+    import video_styler_tpu.models.wan_vae as V
+    from video_styler_tpu.parallel import (
+        make_mesh, ShardingContext, use_sharding)
+
+    params = _tiny_vae_params()
+    cfg = V.WAN_VAE_TINY
+    video = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 9, 32, 64),
+                              jnp.float32)
+    lat = V.encode(params, video, cfg, tiled=False)
+    out = V.decode(params, lat, cfg, tiled=False)
+
+    mesh = make_mesh(dp=1, fsdp=1, sp=2)
+    with use_sharding(ShardingContext(mesh)):
+        lat_s = V.encode(params, video, cfg, tiled=False)
+        out_s = V.decode(params, lat_s, cfg, tiled=False)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+    # streaming (cache-carried) path under the mesh too
+    with use_sharding(ShardingContext(mesh)):
+        lat_st = V.encode(params, video, cfg, tiled=True)
+        out_st = V.decode(params, lat_st.astype(jnp.float32), cfg, tiled=True)
+    np.testing.assert_allclose(np.asarray(lat_st), np.asarray(lat),
+                               rtol=1e-3, atol=1e-3)
+    assert out_st.shape == out.shape

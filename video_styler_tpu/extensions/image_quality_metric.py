@@ -10,7 +10,8 @@ vendors full BLIP/open_clip towers; here:
   - CLIPScore: cosine similarity scaffold over pluggable image/text
     embedding fns
   - metric registry mirroring the reference's `download_metric_model` names;
-    metrics whose towers aren't ported yet raise a clear NotImplementedError
+    all six metric towers are ported (PickScore/HPS via clip_dual.py,
+    MPS multi-query cross model, ImageReward via blip_reward.py)
 
 Offline-friendly: everything accepts precomputed embeddings.
 """

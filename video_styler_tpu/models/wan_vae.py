@@ -129,8 +129,21 @@ def _silu(x):
     return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
 
 
+def _shard_w(x):
+    """Spatially shard the VAE over the sequence-parallel mesh axis.
+
+    The reference keeps the VAE single-GPU and tiles spatially
+    (wan_video_vae.py:1103-1203); under a mesh the natural TPU form is
+    GSPMD width-sharding — constrain (B, C, T, H, W) on W and XLA inserts
+    conv halo exchanges over ICI. No-op without an active sharding context
+    or when W doesn't divide (parallel/context.py warns once)."""
+    from ..parallel.context import constrain
+    return constrain(x, "dp", None, None, None, "sp")
+
+
 def residual_block(p, x):
     """ResidualBlock (wan_video_vae.py:267-301)."""
+    x = _shard_w(x)
     if "shortcut" in p:
         h = causal_conv3d(p["shortcut"], x)
     else:
@@ -334,6 +347,7 @@ def _causal_conv3d_io(p, x, io: _CacheIO, stride=(1, 1, 1)):
 
 
 def _residual_block_io(p, x, io: _CacheIO):
+    x = _shard_w(x)
     if "shortcut" in p:
         h = _causal_conv3d_io(p["shortcut"], x, io)
     else:
