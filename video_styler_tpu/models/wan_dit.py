@@ -285,7 +285,10 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
         segment_layers = vace_layers
 
         def segment_callback(i, x):  # noqa: default VACE hint injection
-            return x + vace_hints[i].astype(x.dtype) * vace_scale
+            # scale cast to x.dtype: a strong-f32 scalar would promote the
+            # whole trunk to f32 from this layer on (2x HBM + compute)
+            return x + vace_hints[i].astype(x.dtype) * \
+                jnp.asarray(vace_scale, x.dtype)
 
     start = 0
     for i, layer in enumerate(segment_layers):

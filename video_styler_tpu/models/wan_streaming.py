@@ -211,7 +211,8 @@ class WanBlockStreamer:
 
     def _inject(self, x, hint, scale):
         def fn(x, hint, scale):
-            return x + hint.astype(x.dtype) * scale
+            # keep x.dtype: a strong-f32 scale would promote the trunk
+            return x + hint.astype(x.dtype) * scale.astype(x.dtype)
         return self._jit("inject", fn, donate_argnums=(0,))(x, hint, scale)
 
     def _head(self, x, t, grid):

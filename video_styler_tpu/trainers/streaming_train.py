@@ -203,7 +203,7 @@ class StreamingTrainer:
                 vb = self._vace_block(idx)
                 c, hint = self._vace_fwd(vb, _slice_lora(vace_lora, idx),
                                          c, ctx, t_mod, cos, sin)
-                x = x + hint.astype(x.dtype) * vace_scale
+                x = x + hint.astype(x.dtype) * vace_scale.astype(x.dtype)
 
         loss, dx = self._head_loss(x, t, grid, target,
                                    jnp.asarray(loss_weight, jnp.float32))
@@ -215,7 +215,7 @@ class StreamingTrainer:
         for si in reversed(range(len(schedule))):
             kind, idx = schedule[si]
             if kind == "vace":
-                d_hints[idx] = (dx * vace_scale)
+                d_hints[idx] = dx * vace_scale.astype(dx.dtype)
                 continue
             bp = self._trunk_block(idx)
             x_in = jnp.asarray(stash[si])
