@@ -118,6 +118,15 @@ def main():
                    choices=["int8", "fp8"],
                    help="quantize DiT linears (the fp8-baseline analog; "
                         "int8 runs the v5e MXU at 2x bf16 rate)")
+    p.add_argument("--streaming", type=str, default=None,
+                   choices=["int8", "bf16"],
+                   help="host-resident block streaming: run a DiT bigger "
+                        "than HBM (the vram_management analog; int8 keeps "
+                        "more blocks resident). Combine with "
+                        "--streaming_budget_gb to size residency.")
+    p.add_argument("--streaming_budget_gb", type=float, default=13.5)
+    p.add_argument("--cfg_merge", action="store_true",
+                   help="batch posi+nega in one DiT pass (CfgMerger)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny random models, no checkpoints (env check)")
     args = p.parse_args()
@@ -134,6 +143,10 @@ def main():
 
     if args.quantize:
         pipe.quantize(mode=args.quantize)
+    if args.streaming:
+        plan = pipe.enable_block_streaming(
+            mode=args.streaming, hbm_budget_gb=args.streaming_budget_gb)
+        print(f"block streaming: {plan}")
 
     # input video -> VACE conditioning (the Ditto edit contract)
     vace_video = None
@@ -162,6 +175,7 @@ def main():
         cfg_scale=args.cfg_scale,
         num_inference_steps=args.num_inference_steps,
         sigma_shift=args.sigma_shift,
+        cfg_merge=args.cfg_merge,
         tiled=not args.no_tiled and not args.smoke,
         tea_cache_l1_thresh=args.tea_cache_l1_thresh,
         tea_cache_model_id=args.tea_cache_model_id,

@@ -258,6 +258,48 @@ def measure(args):
             _log(f"bf16 pass {times[-1]:.1f}s")
         out["bf16_pass_s"] = min(times)
         save()
+
+        # ------------ stage 5: measured streaming LoRA train step --------
+        # The Ditto recipe at 14B-block scale (train.sh: VACE LoRA r128,
+        # 480x832x73): frozen bf16 trunk re-streamed fwd+bwd, boundary
+        # activations offloaded to host, grads only into the VACE LoRA.
+        if args.train_step:
+            from video_styler_tpu.trainers.lora_train import init_lora
+            from video_styler_tpu.trainers.streaming_train import \
+                StreamingTrainer
+            lat1 = lat[:1]
+            ctx1 = ctx[:1]
+            vctx1 = vctx[:1]
+            target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
+                                       jnp.bfloat16)
+            vace_lora = init_lora(jax.random.PRNGKey(10),
+                                  {"blocks": vace_host["blocks"]}, rank=128,
+                                  targets=("blocks.self_attn.q",
+                                           "blocks.self_attn.k",
+                                           "blocks.self_attn.v",
+                                           "blocks.self_attn.o",
+                                           "blocks.ffn.fc1",
+                                           "blocks.ffn.fc2"),
+                                  dtype=jnp.bfloat16)
+            trainer = StreamingTrainer(streamer)
+            t0 = time.perf_counter()
+            loss, _, g = trainer.loss_and_grads(
+                lat1, ts, ctx1, target, vace_context=vctx1,
+                vace_lora=vace_lora)
+            _sync(g["blocks.self_attn.q"]["A"])
+            out["train_step_compile_s"] = time.perf_counter() - t0
+            _log(f"train warmup (compile) {out['train_step_compile_s']:.0f}s")
+            t0 = time.perf_counter()
+            loss, _, g = trainer.loss_and_grads(
+                lat1, ts, ctx1, target, vace_context=vctx1,
+                vace_lora=vace_lora)
+            _sync(g["blocks.self_attn.q"]["A"])
+            out["train_step_s"] = time.perf_counter() - t0
+            out["train_loss"] = float(loss)
+            _log(f"train step {out['train_step_s']:.1f}s "
+                 f"loss={out['train_loss']:.4f}")
+            save()
+
         del streamer, v
         gc.collect()
 
@@ -275,6 +317,8 @@ def main():
     ap.add_argument("--prefetch", type=int, default=3)
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--train-step", action="store_true", default=True)
+    ap.add_argument("--skip-train", dest="train_step", action="store_false")
     ap.add_argument("--skip-bf16", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default="/tmp/measure_14b.json")
