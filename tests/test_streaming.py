@@ -134,3 +134,28 @@ def test_pipeline_streaming_matches_resident():
     assert pipe2.dit_params is None  # device copy released
     out = np.asarray(pipe2("stylize", **kw))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_editor_streaming_matches_resident():
+    """The Ditto editor (keyframe-guided, rope_indices) through the
+    streamer must reproduce the resident path bit-for-bit."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _tiny_pipe, _frames
+    from video_styler_tpu.pipelines import WanVideoEditorPipeline
+    from ref_loader import ref_available
+    import pytest as _pytest
+    if not ref_available():
+        _pytest.skip("reference not mounted")
+
+    kw = dict(source_video=_frames(5), edited_keyframes=_frames(2, seed=1),
+              keyframe_indices=[0, 4], seed=5, height=32, width=32,
+              num_frames=5, num_inference_steps=2, cfg_scale=1.0,
+              tiled=False, verbose=False, return_latents=True)
+    pipe = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
+    ref = np.asarray(pipe("edit", **kw))
+    pipe2 = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
+    pipe2.enable_block_streaming(mode="bf16", resident_blocks=0,
+                                 prefetch_depth=2)
+    out = np.asarray(pipe2("edit", **kw))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
