@@ -5,21 +5,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 BASELINE.md's tracked metric is sec/video for the Wan2.1-VACE-14B instruction
 edit at 832x480x73 (the reference quotes ~4 min on one A6000 for the
 fp8-quantized + CausVid-distilled ComfyUI path; the full-quality bf16 path is
-far slower). We measure on ONE v5e chip:
+far slower).
 
-  1. a real 14B-dimension DiT block stack (dim 5120 / 40 heads / ffn 13824,
-     N layers that fit HBM) at the edit's 29,640-token sequence -> per-block
-     ms -> extrapolated 14B+VACE (40 trunk + 8 vace blocks) step time;
-  2. umT5-xxl text encode (512 tokens);
-  3. full-size Wan2.1 VAE tiled encode + decode at 480x832x73;
-  4. a measured end-to-end 1.3B VACE edit (2 steps, scaled to 50) as the
-     e2e-shape check (infer_ditto smoke).
+Round 3: the headline is MEASURED, not projected. Stage A runs
+tools/measure_14b.py — the real 48-block 14B+VACE model executes on the one
+v5e via host block streaming (models/wan_streaming.py, the vram_management
+capability), and the recipe (umT5 encode + 2x VAE encode + 4 int8 denoise
+steps at merged-CFG batch 2 + VAE decode) is timed end-to-end in a single
+process. A measured bf16 pass grounds the 50-step full-quality composition,
+and a measured streaming LoRA train step covers the training side. Stage B
+re-measures the 1.3B VACE branch for cross-round continuity. If stage A
+yields nothing (timeout on a cold compile cache), the round-2
+composed-projection stages run as a clearly-labeled fallback.
 
-value / vs_baseline: projected sec/video for the full-quality bf16 14B VACE
-edit on this single v5e chip vs the 240 s reference figure. This is the
-like-for-like capability number (same model, same shapes); the quantization
-gap (their fp8+distill vs our bf16 full quality) and the v5p-8 target
-projection are spelled out in `extra`.
+value / vs_baseline: measured sec/video for the baseline's own recipe class
+on ONE v5e vs its 240 s A6000 figure.
 """
 import gc
 import json
@@ -188,7 +188,48 @@ def bench_wan13b_step():
     return branch_ms
 
 
+def bench_measured_14b():
+    """The MEASURED 14B path: run tools/measure_14b.py in a subprocess (its
+    own TPU client; builds the real 48-block model via host block streaming
+    and measures umT5 + 2x VAE encode + 4 int8 denoise steps + decode
+    end-to-end in one process, plus a bf16 pass and a streaming LoRA train
+    step). Returns its (incrementally-written) JSON — partial on timeout."""
+    import json
+    import os
+    import subprocess
+    out_path = "/tmp/bench_14b.json"
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    timeout = int(os.environ.get("BENCH_14B_TIMEOUT", "5400"))
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "measure_14b.py"),
+           "--steps", "4", "--out", out_path]
+    _log(f"stage A: measured 14B streamed run (subprocess, "
+         f"timeout {timeout}s)")
+    try:
+        proc = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                              text=True)
+        if proc.returncode != 0:
+            _log(f"measured run rc={proc.returncode}: "
+                 f"{proc.stderr[-500:]}")
+    except subprocess.TimeoutExpired:
+        _log("measured run timed out; using partial results")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            return json.load(f)
+    return {}
+
+
 def main():
+    import os
+
+    # Stage A BEFORE any jax/TPU use in this process: the axon tunnel
+    # serves one client at a time.
+    measured = {}
+    if os.environ.get("BENCH_SKIP_MEASURED") != "1":
+        measured = bench_measured_14b()
+
     import jax
     # persistent compilation cache: the expensive shape-specialized VAE/DiT
     # graphs compile once per machine, not once per process
@@ -202,6 +243,69 @@ def main():
 
     device = str(jax.devices()[0])
     extra = {"device": device}
+
+    if measured.get("recipe_video_s_measured"):
+        return main_measured(measured, extra)
+    _log("measured 14B results unavailable — falling back to the "
+         "composed-projection stages")
+    return main_projected()
+
+
+def main_measured(m, extra):
+    """Headline from the MEASURED streamed 14B run (round-3: kills the
+    round-2 projection asterisk)."""
+    import jax
+
+    extra["measured"] = True
+    extra["ditto14b_measured"] = m
+    recipe_s = m["recipe_video_s_measured"]
+
+    _log("stage B: 1.3B+VACE measured branch (continuity metric)")
+    try:
+        branch13_ms = bench_wan13b_step()
+        extra["wan13b_vace_branch_ms"] = round(branch13_ms, 1)
+    except Exception as e:  # keep the headline robust
+        _log(f"1.3B stage failed: {e}")
+
+    # v5p-8 projection (clearly labeled; the measured bf16 pass on this
+    # chip is TRANSFER-bound — a pod keeps params resident, so scale the
+    # compute-bound int8 pass instead and label it conservative)
+    if m.get("int8_pass_s"):
+        v5p_scale = (459.0 / 197.0) * 8.0
+        denoise_v5p8 = 50 * m["int8_pass_s"] / v5p_scale  # pass = 2 branches
+        vae_t5 = (2 * m["vae_encode_ms"] + m["vae_decode_ms"]
+                  + 2 * m["t5_encode_ms"]) / 1e3
+        extra["ditto14b_projected_video_s_v5p8"] = round(
+            denoise_v5p8 + vae_t5, 1)
+    if m.get("bf16_pass_s"):
+        extra["ditto14b_bf16_50step_video_s_composed_from_measured_pass"] = \
+            round(m.get("bf16_50step_video_s_composed_from_measured_pass",
+                        50 * m["bf16_pass_s"]), 1)
+    extra["recipe_note"] = (
+        "MEASURED end-to-end on one v5e via host block streaming: the real "
+        "48-block int8 14B+VACE (the baseline ComfyUI recipe class: "
+        "quantized 14B + distill LoRA, 4 steps x merged CFG), umT5 + 2x VAE "
+        "encode + 4 denoise steps + decode in one process. Host link here "
+        "is a ~1.3 GB/s tunnel; a production host (PCIe) hides transfers "
+        "entirely.")
+    extra["baseline_note"] = (
+        "240 s = A6000 ComfyUI fp8+CausVid-distill path (README.md:78)")
+
+    result = {
+        "metric": "ditto_vace14b_recipe_video_s_1xv5e",
+        "value": round(recipe_s, 1),
+        "unit": "s",
+        "vs_baseline": round(240.0 / recipe_s, 3),
+        "extra": extra,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main_projected():
+    import jax
+    device = str(jax.devices()[0])
+    extra = {"device": device, "measured": False}
 
     seq = 19 * 30 * 52  # 29,640 tokens (73f 480x832 after (1,2,2) patchify)
     _log("stage 1/4: 14B-dim DiT block (bf16 + int8)")
@@ -290,6 +394,7 @@ def main():
         "extra": extra,
     }
     print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -27,6 +27,17 @@ import os
 import sys
 import time
 
+# This VM provisions first-touch anonymous pages at ~10 MB/s (uffd-backed
+# microVM memory). Large transient buffers (transfer staging, numpy temps)
+# normally cycle through mmap/munmap and re-fault on EVERY allocation,
+# throttling host->TPU streaming to ~10 MB/s. Forcing big allocations onto
+# the (never-trimmed) heap makes pages fault once and be reused. glibc
+# reads these at startup, so re-exec if they aren't set yet.
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = "1073741824"
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "2147483647"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
