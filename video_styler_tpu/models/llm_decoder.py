@@ -115,9 +115,32 @@ def decoder_block(p, x, cos, sin, bias, cfg: DecoderLMConfig):
     return x + mlp
 
 
+def mrope_tables(cfg: DecoderLMConfig, position_ids, mrope_section):
+    """Qwen2.5-VL multimodal RoPE: position_ids (3, L) t/h/w streams ->
+    combined (L, head_dim) cos/sin with the channel split of
+    apply_multimodal_rotary_pos_emb (sections doubled, stream i%3 per
+    piece). Text-only sequences (all streams equal) reduce to rope_tables."""
+    inv = jnp.asarray(
+        1.0 / (cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2,
+                                            dtype=np.float64) / cfg.head_dim)),
+        jnp.float32)
+    pos = jnp.asarray(position_ids, jnp.float32)            # (3, L)
+    freqs = pos[..., None] * inv                            # (3, L, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)          # (3, L, D)
+    cos3, sin3 = jnp.cos(emb), jnp.sin(emb)
+    secs = list(mrope_section) * 2
+    bounds = np.cumsum([0] + secs)
+    cos = jnp.concatenate([cos3[i % 3, :, bounds[i]:bounds[i + 1]]
+                           for i in range(len(secs))], axis=-1)
+    sin = jnp.concatenate([sin3[i % 3, :, bounds[i]:bounds[i + 1]]
+                           for i in range(len(secs))], axis=-1)
+    return cos, sin
+
+
 def decoder_lm_forward(params, cfg: DecoderLMConfig, input_ids,
                        attention_mask=None, stop_skip_layers: int = 0,
-                       final_norm: bool = True):
+                       final_norm: bool = True, inputs_embeds=None,
+                       position_ids=None, mrope_section=None):
     """Hidden states of the decoder stack.
 
     stop_skip_layers: reference `hidden_state_skip_layer` — run only
@@ -125,10 +148,16 @@ def decoder_lm_forward(params, cfg: DecoderLMConfig, input_ids,
     final norm (hunyuan_video_text_encoder.py:33-49 break condition:
     layer_id + skip + 1 >= num_layers runs layers [0 .. num_layers-skip-1]).
     final_norm applies the end RMSNorm (Qwen hidden_states[-1] semantics).
-    """
+    inputs_embeds overrides the token embedding (vision-token injection,
+    Qwen2_5_VLModel masked_scatter semantics). position_ids (3, L) with
+    mrope_section enables Qwen2.5-VL multimodal RoPE."""
     b, l = input_ids.shape
-    x = jnp.take(params["embed"], input_ids, axis=0)
-    cos, sin = rope_tables(cfg, l)
+    x = (inputs_embeds if inputs_embeds is not None
+         else jnp.take(params["embed"], input_ids, axis=0))
+    if position_ids is not None and mrope_section is not None:
+        cos, sin = mrope_tables(cfg, position_ids, mrope_section)
+    else:
+        cos, sin = rope_tables(cfg, l)
     causal = np.triu(np.full((l, l), -np.inf, np.float32), k=1)
     bias = jnp.asarray(causal)[None, None]
     if attention_mask is not None:

@@ -140,6 +140,20 @@ class FluxImagePipeline:
         pipe.prompter.fetch_models(pipe.clip_params, pipe.t5_params, pipe.t5_cfg)
         return pipe
 
+    def fetch_qwenvl(self, model_paths, tokenizer_path):
+        """Native Step1x VL embedder (replaces the reference's torch
+        Qwen25VL_7b_Embedder, qwenvl.py:1-168): Qwen2.5-VL text+vision
+        towers in JAX behind the (captions, ref_images) -> (embs, masks)
+        surface the denoise loop consumes."""
+        from transformers import AutoTokenizer
+        from ..models.qwen_vl_embedder import QwenVL, QwenVLStep1xEmbedder
+        from ..utils import ckpt as C
+        sd = C.load_state_dict_files(
+            model_paths if isinstance(model_paths, list) else [model_paths])
+        self.qwenvl = QwenVLStep1xEmbedder(QwenVL(
+            sd, AutoTokenizer.from_pretrained(tokenizer_path),
+            dtype=self.dtype))
+
     def load_controlnet(self, path=None, state_dict=None, cfg=None):
         """Attach a FLUX ControlNet (FluxImageUnit_ControlNet analog)."""
         from ..models import flux_controlnet as FC

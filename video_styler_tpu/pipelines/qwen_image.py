@@ -29,6 +29,24 @@ T2I_TEMPLATE = ("<|im_start|>system\nDescribe the image by detailing the "
                 "relationships of the objects and background:<|im_end|>\n"
                 "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n")
 T2I_DROP_IDX = 34
+# Qwen-Image-Edit templates (reference qwen_image.py:553,563-566)
+EDIT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. Generate "
+    "a new image that meets the user's requirements while maintaining "
+    "consistency with the original input where appropriate.<|im_end|>\n"
+    "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>{}"
+    "<|im_end|>\n<|im_start|>assistant\n")
+EDIT_TEMPLATE_MULTI = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. Generate "
+    "a new image that meets the user's requirements while maintaining "
+    "consistency with the original input where appropriate.<|im_end|>\n"
+    "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n")
+EDIT_IMG_BLOCK = "Picture {}: <|vision_start|><|image_pad|><|vision_end|>"
+EDIT_DROP_IDX = 64
 
 
 from dataclasses import dataclass
@@ -60,6 +78,7 @@ class QwenImagePipeline:
         self.vae_params = None
         self.vae_cfg = WAN21_VAE
         self.text_encoder = None        # callable(texts) -> (emb, mask)
+        self._vl = None                 # native QwenVL (text+vision towers)
         # block-wise ControlNets (QwenImageBlockwiseMultiControlNet,
         # qwen_image.py:23-45): list of converted pytrees, indexed by
         # ControlNetInput.controlnet_id
@@ -95,39 +114,31 @@ class QwenImagePipeline:
         qwen_image_text_encoder.py:1-255; template + drop_idx from
         QwenImageUnit_PromptEmbedder, qwen_image.py:530-41).
 
-        backend="native" (default) runs the TPU-native decoder
-        (models/llm_decoder.py) — text-only prompts make Qwen2.5-VL's
-        mRoPE equal to standard RoPE, and hidden_states[-1] includes the
-        final norm. backend="transformers" keeps the host-torch fallback."""
+        backend="native" (default) runs the TPU-native towers — text via
+        models/llm_decoder.py (text-only prompts make Qwen2.5-VL's mRoPE
+        equal to standard RoPE), vision via models/qwen_vl_vision.py when
+        the checkpoint carries `visual.` weights (Qwen-Image-Edit prompt
+        conditioning, reference qwen_image.py:552-575), and
+        hidden_states[-1] includes the final norm.
+        backend="transformers" keeps the host-torch fallback."""
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(tokenizer_path)
         if backend == "native":
             import numpy as _np
-            import jax
-            from ..models.llm_decoder import (
-                convert_decoder_lm, decoder_lm_forward,
-                detect_decoder_lm_config)
+            from ..models.qwen_vl_embedder import QwenVL
             from ..utils import ckpt as C
             sd = C.load_state_dict_files(
                 model_path if isinstance(model_path, list) else [model_path])
-            sd = {k: v for k, v in sd.items() if "visual" not in k}
-            cfg = detect_decoder_lm_config(sd, family="qwen")
-            params = convert_decoder_lm(sd, cfg, dtype=self.dtype)
-            fwd = jax.jit(lambda p, i, m: decoder_lm_forward(p, cfg, i, m))
+            self._vl = QwenVL(sd, tok, dtype=self.dtype)
 
             def encode(prompt: str):
                 txt = T2I_TEMPLATE.format(prompt)
                 ids = tok([txt], max_length=4096 + T2I_DROP_IDX, padding=True,
-                          truncation=True, return_tensors="np")
-                # pad to a multiple of 32 so jit shapes bucket
-                L = ids["input_ids"].shape[1]
-                pad = (-L) % 32
-                ii = _np.pad(ids["input_ids"], ((0, 0), (0, pad)))
-                mm = _np.pad(ids["attention_mask"], ((0, 0), (0, pad)))
-                hidden = fwd(params, jnp.asarray(ii), jnp.asarray(mm))
-                emb = hidden[:, T2I_DROP_IDX:L].astype(self.dtype)
-                mask = ids["attention_mask"][:, T2I_DROP_IDX:]
-                return emb, jnp.asarray(mask, jnp.int32)
+                          truncation=True, return_tensors="np")["input_ids"][0]
+                hidden = self._vl.encode_ids(ids)
+                emb = jnp.asarray(hidden[:, T2I_DROP_IDX:], self.dtype)
+                mask = jnp.ones((1, emb.shape[1]), jnp.int32)
+                return emb, mask
 
             self.text_encoder = encode
             return
@@ -153,6 +164,37 @@ class QwenImagePipeline:
 
     def encode_prompt(self, prompt: str):
         return self.text_encoder(prompt)
+
+    @staticmethod
+    def _resize_vl(image, target_area=384 * 384):
+        """Multi-image VL resize (reference qwen_image.py:533-537)."""
+        import math
+        ratio = image.size[0] / image.size[1]
+        width = math.sqrt(target_area * ratio)
+        height = width / ratio
+        return image.resize((round(width / 32) * 32, round(height / 32) * 32))
+
+    def encode_prompt_edit(self, prompt: str, edit_images, _cache=None):
+        """Qwen-Image-Edit prompt conditioning: the edit image(s) run through
+        the native VL vision tower and condition the prompt embedding
+        (reference encode_prompt_edit/_multi, qwen_image.py:552-575;
+        drop_idx 64). Returns (emb, mask, vision_cache) — pass the cache to
+        the negative-prompt call to reuse the vision forward."""
+        vl = self._vl
+        if len(edit_images) == 1:
+            txt = EDIT_TEMPLATE.format(prompt)
+            imgs = list(edit_images)
+        else:
+            base = "".join(EDIT_IMG_BLOCK.format(i + 1)
+                           for i in range(len(edit_images)))
+            txt = EDIT_TEMPLATE_MULTI.format(base + prompt)
+            imgs = [self._resize_vl(im) for im in edit_images]
+        img_emb, grids = _cache if _cache is not None else vl.embed_images(imgs)
+        text = vl._expand_image_pads(txt, grids)
+        ids = vl.tokenizer(text, return_tensors="np")["input_ids"][0]
+        hidden = vl.encode_ids(ids, img_emb, grids)
+        emb = jnp.asarray(hidden[:, EDIT_DROP_IDX:], self.dtype)
+        return emb, jnp.ones((1, emb.shape[1]), jnp.int32), (img_emb, grids)
 
     def encode_image(self, image_np):
         z = V.qwen_vae_encode(self.vae_params,
@@ -275,8 +317,21 @@ class QwenImagePipeline:
                 (width // 8, height // 8)), np.float32) / 255.0
             mask_lat = jnp.asarray(m[None, None], jnp.float32)
 
-        posi_emb, posi_mask = self.encode_prompt(prompt)
-        nega = self.encode_prompt(negative_prompt) if cfg_scale != 1.0 else None
+        # Qwen-Image-Edit: the edit image conditions the prompt embedding
+        # through the VL vision tower (reference QwenImageUnit_PromptEmbedder
+        # routes edit_image into encode_prompt_edit for both CFG branches)
+        if (edit_image is not None and self._vl is not None
+                and self._vl.vision_params is not None):
+            imgs = edit_image if isinstance(edit_image, list) else [edit_image]
+            posi_emb, posi_mask, vl_cache = self.encode_prompt_edit(
+                prompt, imgs)
+            nega = (self.encode_prompt_edit(negative_prompt, imgs,
+                                            _cache=vl_cache)[:2]
+                    if cfg_scale != 1.0 else None)
+        else:
+            posi_emb, posi_mask = self.encode_prompt(prompt)
+            nega = (self.encode_prompt(negative_prompt)
+                    if cfg_scale != 1.0 else None)
 
         # edit / context images -> extra latents (extra RoPE frames)
         extra = []
