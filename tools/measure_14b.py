@@ -97,10 +97,17 @@ def build_host_dit(cfg, vcfg, mode: str, seed: int = 0, alias: bool = True):
             if isinstance(node, dict) and "w" in node and \
                     getattr(node["w"], "ndim", 0) >= 2 and \
                     node["w"].shape[-1] >= 128 and node["w"].shape[-2] >= 128 \
-                    and mode == "int8":
-                out = {"w_q": fill(node["w"].shape, "q"),
-                       "w_scale": fill(node["w"].shape[:-2] +
-                                       (1, node["w"].shape[-1]), "scale")}
+                    and mode in ("int8", "int4"):
+                shape = node["w"].shape
+                if mode == "int4":  # packed nibbles: in-axis halves
+                    out = {"w_q4": fill(shape[:-2] + (shape[-2] // 2,
+                                                      shape[-1]), "q"),
+                           "w_scale": fill(shape[:-2] + (1, shape[-1]),
+                                           "scale")}
+                else:
+                    out = {"w_q": fill(shape, "q"),
+                           "w_scale": fill(shape[:-2] + (1, shape[-1]),
+                                           "scale")}
                 if "b" in node:
                     out["b"] = fill(node["b"].shape, "f")
                 return out
@@ -204,15 +211,17 @@ def measure(args):
         jax.tree_util.tree_map(lambda x: x.delete(), vaep)
         del vaep; gc.collect()
 
-    # ---------------- stage 3: int8 streamed 14B+VACE denoise ------------
-    dit_host, vace_host = build_host_dit(cfg, vcfg, "int8",
+    # ------- stage 3: quantized 14B+VACE denoise (int4 resident / int8
+    # streamed — int4 fits the whole 17 GB stack into ~8.7 GB HBM) --------
+    qmode = args.mode
+    dit_host, vace_host = build_host_dit(cfg, vcfg, qmode,
                                          alias=not args.full_store)
     streamer = WanBlockStreamer(
-        dit_host, cfg, vace_host, vcfg, mode="int8",
+        dit_host, cfg, vace_host, vcfg, mode=qmode,
         resident_blocks=args.resident, prefetch_depth=args.prefetch,
         num_streams=args.streams)
-    out["plan_int8"] = streamer.plan_summary()
-    _log(f"plan: {out['plan_int8']}")
+    out[f"plan_{qmode}"] = streamer.plan_summary()
+    _log(f"plan: {out[f'plan_{qmode}']}")
 
     lat = jax.random.normal(jax.random.PRNGKey(2), lat_shape, jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(3), ctx_shape, jnp.bfloat16)
@@ -223,8 +232,8 @@ def measure(args):
     t0 = time.perf_counter()
     v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
     _sync(v)
-    out["int8_pass_compile_s"] = time.perf_counter() - t0
-    _log(f"int8 warmup (compile) {out['int8_pass_compile_s']:.0f}s")
+    out[f"{qmode}_pass_compile_s"] = time.perf_counter() - t0
+    _log(f"{qmode} warmup (compile) {out[f'{qmode}_pass_compile_s']:.0f}s")
 
     pass_times = []
     step_lat = lat
@@ -237,9 +246,9 @@ def measure(args):
         _log(f"step {step}: {pass_times[-1]:.1f}s")
         # Euler step on the merged batch (posi half drives; timing-neutral)
         step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
-    out["int8_denoise_s"] = time.perf_counter() - t_recipe0
-    out["int8_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
-    out["int8_pass_times"] = pass_times
+    out[f"{qmode}_denoise_s"] = time.perf_counter() - t_recipe0
+    out[f"{qmode}_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
+    out[f"{qmode}_pass_times"] = pass_times
     save()
 
     del streamer, v, step_lat
@@ -319,7 +328,12 @@ def measure(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--resident", type=int, default=0)
+    ap.add_argument("--mode", default="int4", choices=["int4", "int8"],
+                    help="int4 (w4a8, ~8.7 GB, fully HBM-resident: no "
+                         "per-pass streaming) or int8 (17 GB, streamed)")
+    ap.add_argument("--resident", type=int, default=None,
+                    help="trunk blocks to keep on device (default: auto "
+                         "from the HBM budget; int4 fits all)")
     ap.add_argument("--full-store", action="store_true",
                     help="materialize distinct weights for every block "
                          "(slow first-touch on this VM); default aliases "
@@ -349,7 +363,7 @@ def main():
         # the Ditto VACE edit: 2 vace encodes (inactive/reactive masks,
         # wan_video_new.py:861-920) + denoise + decode + T5
         e2e = (out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
-               + out["int8_denoise_s"] + out["vae_decode_ms"] / 1e3)
+               + out[f"{args.mode}_denoise_s"] + out["vae_decode_ms"] / 1e3)
         out["recipe_video_s_measured"] = e2e
         if "bf16_pass_s" in out:
             out["bf16_50step_video_s_composed_from_measured_pass"] = (

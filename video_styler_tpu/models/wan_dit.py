@@ -188,10 +188,18 @@ def _split_mod(modulation, t_mod, n: int):
 
 def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
     b, s, d = x.shape
-    if "w_q" in p["q"] and p["q"]["w_q"].dtype == jnp.int8:
-        # one activation quantize + one fused (S,in)@(in,3out) MXU call
-        from ..ops.quant import fused_qkv_int8
-        q0, k0, v = fused_qkv_int8(p["q"], p["k"], p["v"], x)
+    int4 = ("w_q4" in p["q"]
+            and p["q"]["w_scale"].ndim == p["q"]["w_q4"].ndim)
+    if int4 or ("w_q" in p["q"] and p["q"]["w_q"].dtype == jnp.int8):
+        # one activation quantize + one fused (S,in)@(in,3out) MXU call;
+        # int4 (w4a8) unpacks its nibbles to int8 first (block-local
+        # transient, resident HBM stays packed)
+        from ..ops.quant import dequant_int4_leaf, fused_qkv_int8
+        pq, pk, pv = p["q"], p["k"], p["v"]
+        if int4:
+            pq, pk, pv = (dequant_int4_leaf(pq), dequant_int4_leaf(pk),
+                          dequant_int4_leaf(pv))
+        q0, k0, v = fused_qkv_int8(pq, pk, pv, x)
         q = rms_norm(p["norm_q"], q0, eps)
         k = rms_norm(p["norm_k"], k0, eps)
     else:

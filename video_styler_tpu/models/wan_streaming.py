@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from ..ops.basic import linear
 from ..ops.rope import assemble_freqs_grid
 from ..parallel.streaming import (
-    MultiStreamLoader, PrefetchQueue, host_quantize_int8, split_host_blocks,
-    tree_bytes, tree_to_host,
+    MultiStreamLoader, PrefetchQueue, host_quantize_int4, host_quantize_int8,
+    split_host_blocks, tree_bytes, tree_to_host,
 )
 from . import wan_dit as M
 from .wan_dit import WanDiTConfig
@@ -66,7 +66,7 @@ class WanBlockStreamer:
                  resident_blocks: Optional[int] = None,
                  prefetch_depth: int = 3, num_streams: int = 8,
                  device=None):
-        if mode not in ("int8", "bf16"):
+        if mode not in ("int4", "int8", "bf16"):
             raise ValueError(f"unsupported streaming mode {mode!r}")
         self.cfg = cfg
         self.vace_cfg = vace_cfg
@@ -76,10 +76,11 @@ class WanBlockStreamer:
         self.prefetch_depth = prefetch_depth
         self._jits: Dict[Any, Any] = {}
 
+        quantize = {"int8": host_quantize_int8, "int4": host_quantize_int4,
+                    "bf16": lambda t: t}[mode]
         small = {k: v for k, v in dit_params.items() if k != "blocks"}
         blocks_host = _to_host_np(dit_params["blocks"])
-        if mode == "int8":
-            blocks_host = host_quantize_int8(blocks_host)
+        blocks_host = quantize(blocks_host)
         n = jax.tree_util.tree_leaves(blocks_host)[0].shape[0]
         self.num_layers = n
         per_block = tree_bytes(blocks_host) / n
@@ -93,8 +94,7 @@ class WanBlockStreamer:
             vace_blocks_host = _to_host_np(
                 {"block": vace_params["blocks"],
                  "after": vace_params["after_proj"]})
-            if mode == "int8":
-                vace_blocks_host = host_quantize_int8(vace_blocks_host)
+            vace_blocks_host = quantize(vace_blocks_host)
             self.num_vace = len(vace_cfg.vace_layers)
 
         if resident_blocks is None:

@@ -48,6 +48,11 @@ def linear(p, x):
     ops.quant.quantize_params ("w_q" present): int8 runs the MXU at 2x the
     bf16 rate — the TPU analog of the reference's fp8 `torch._scaled_mm`
     (vram_management/layers.py:115-151)."""
+    if "w_q4" in p:
+        from .quant import linear_int4, linear_int4_g
+        if p["w_scale"].ndim == p["w_q4"].ndim + 1:
+            return linear_int4_g(p, x)  # group scales -> w4a16
+        return linear_int4(p, x)        # per-column -> w4a8
     if "w_q" in p:
         from .quant import linear_fp8, linear_int8
         if p["w_q"].dtype == jnp.int8:

@@ -202,10 +202,14 @@ class WanVideoPipeline:
     def quantize(self, mode: str = "int8", targets: tuple = ("dit", "dit2",
                                                              "vace"),
                  quantize_attention: bool = False):
-        """Quantize DiT linear weights to int8/fp8 — the TPU analog of the
-        reference fp8 path (vram_management/layers.py:115-151; the 4-min
-        ComfyUI baseline runs the 14B fp8-quantized). Must run after LoRA
-        merging. The output head and modulation tables stay high-precision.
+        """Quantize DiT linear weights — the TPU analog of the reference
+        fp8 path (vram_management/layers.py:115-151; the 4-min ComfyUI
+        baseline runs the 14B fp8-quantized). Must run after LoRA merging.
+        The output head and modulation tables stay high-precision.
+
+        Modes: "int8" (w8a8, MXU 2x rate), "fp8" (e4m3 storage), "int4"
+        (w4a8, 0.5 byte/param — the whole 14B+VACE stack fits one 16 GB
+        v5e resident), "int4_g128" (w4a16 group scales, near-bf16 quality).
 
         quantize_attention additionally routes long-sequence attention
         through the SageAttention-style int8 Pallas kernel (the reference
