@@ -50,6 +50,20 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def _mem(out, tag):
+    """Record device memory stats if the backend exposes them."""
+    import jax
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return
+    for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if k in ms:
+            out[f"mem_{tag}_{k}"] = ms[k]
+    if "peak_bytes_in_use" in ms:
+        _log(f"[{tag}] peak HBM {ms['peak_bytes_in_use']/1e9:.2f} GB")
+
+
 def build_host_dit(cfg, vcfg, mode: str, seed: int = 0, alias: bool = True):
     """Full-size host param store, blocks pre-quantized for int8 mode.
 
@@ -157,15 +171,19 @@ def measure(args):
                            num_heads=2, num_layers=8, text_dim=128)
         vcfg = VaceConfig(vace_layers=(0, 4), dim=256, num_heads=2,
                           ffn_dim=512)
-        lat_shape = (2, 16, 3, 16, 16)
-        ctx_shape = (2, 32, cfg.text_dim)
+        lat_shape = (args.batch, 16, 3, 16, 16)
+        ctx_shape = (args.batch, 32, cfg.text_dim)
     else:
         cfg, vcfg = WAN_T2V_14B, VACE_14B
-        # 73f 480x832 -> latent (16, 19, 60, 104) -> 29,640 tokens; batch 2
-        # is the CFG-merged posi+nega branch pair (CfgMerger,
-        # wan_video_new.py:951-969)
-        lat_shape = (2, 16, 19, 60, 104)
-        ctx_shape = (2, 512, cfg.text_dim)
+        # 73f 480x832 -> latent (16, 19, 60, 104) -> 29,640 tokens.
+        # --batch 2 is the CFG-merged posi+nega branch pair (CfgMerger,
+        # wan_video_new.py:951-969); --batch 1 (default) runs the two CFG
+        # branches as separate passes — reference's unmerged default, and
+        # it halves activation transients next to the 8.6 GB resident int4
+        # stack (the merged pair OOMed the 16 GB chip).
+        lat_shape = (args.batch, 16, 19, 60, 104)
+        ctx_shape = (args.batch, 512, cfg.text_dim)
+    branch_passes = max(1, 2 // args.batch)  # CFG branches per denoise step
 
     # ---------------- stage 1: umT5-xxl encode (measured) ----------------
     if not args.tiny:
@@ -234,22 +252,69 @@ def measure(args):
     _sync(v)
     out[f"{qmode}_pass_compile_s"] = time.perf_counter() - t0
     _log(f"{qmode} warmup (compile) {out[f'{qmode}_pass_compile_s']:.0f}s")
+    _mem(out, f"{qmode}_after_warmup")
+    save()
 
     pass_times = []
     step_lat = lat
     t_recipe0 = time.perf_counter()
     for step in range(args.steps):
-        t0 = time.perf_counter()
-        v, _, _ = streamer.forward(step_lat, ts, ctx, vace_context=vctx)
-        _sync(v)
-        pass_times.append(time.perf_counter() - t0)
-        _log(f"step {step}: {pass_times[-1]:.1f}s")
-        # Euler step on the merged batch (posi half drives; timing-neutral)
+        for branch in range(branch_passes):
+            t0 = time.perf_counter()
+            v, _, _ = streamer.forward(step_lat, ts, ctx, vace_context=vctx)
+            _sync(v)
+            pass_times.append(time.perf_counter() - t0)
+            _log(f"step {step} branch {branch}: {pass_times[-1]:.1f}s")
+        # Euler step (posi branch drives; timing-neutral)
         step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
     out[f"{qmode}_denoise_s"] = time.perf_counter() - t_recipe0
     out[f"{qmode}_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
     out[f"{qmode}_pass_times"] = pass_times
+    _mem(out, f"{qmode}_after_denoise")
     save()
+
+    # ------------ stage 3b: measured streaming LoRA train step -----------
+    # The Ditto recipe at 14B-block scale (train.sh: VACE LoRA r128,
+    # 480x832x73): frozen quantized trunk re-run fwd+bwd, boundary
+    # activations offloaded to host, grads only into the VACE LoRA.
+    if args.train_step:
+        from video_styler_tpu.trainers.lora_train import init_lora
+        from video_styler_tpu.trainers.streaming_train import StreamingTrainer
+        lat1, ctx1, vctx1 = lat[:1], ctx[:1], vctx[:1]
+        target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
+                                   jnp.bfloat16)
+        # LoRA factor shapes come from the unquantized template (the host
+        # store's leaves may be int8/int4-packed)
+        from video_styler_tpu.models.wan_vace import init_vace
+        vtpl = jax.eval_shape(
+            lambda k: init_vace(k, vcfg, dtype=jnp.bfloat16),
+            jax.random.PRNGKey(1))
+        vace_lora = init_lora(jax.random.PRNGKey(10),
+                              {"blocks": vtpl["blocks"]}, rank=128,
+                              targets=("blocks.self_attn.q",
+                                       "blocks.self_attn.k",
+                                       "blocks.self_attn.v",
+                                       "blocks.self_attn.o",
+                                       "blocks.ffn.fc1",
+                                       "blocks.ffn.fc2"),
+                              dtype=jnp.bfloat16)
+        trainer = StreamingTrainer(streamer)
+        t0 = time.perf_counter()
+        loss, _, g = trainer.loss_and_grads(
+            lat1, ts, ctx1, target, vace_context=vctx1, vace_lora=vace_lora)
+        _sync(g["blocks.self_attn.q"]["A"])
+        out["train_step_compile_s"] = time.perf_counter() - t0
+        _log(f"train warmup (compile) {out['train_step_compile_s']:.0f}s")
+        t0 = time.perf_counter()
+        loss, _, g = trainer.loss_and_grads(
+            lat1, ts, ctx1, target, vace_context=vctx1, vace_lora=vace_lora)
+        _sync(g["blocks.self_attn.q"]["A"])
+        out["train_step_s"] = time.perf_counter() - t0
+        out["train_loss"] = float(loss)
+        _log(f"train step {out['train_step_s']:.1f}s "
+             f"loss={out['train_loss']:.4f}")
+        save()
+        del trainer, vace_lora, g
 
     del streamer, v, step_lat
     gc.collect()
@@ -342,9 +407,16 @@ def main():
     ap.add_argument("--prefetch", type=int, default=3)
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1, choices=[1, 2],
+                    help="1 = CFG branches as separate passes (default; "
+                         "fits HBM beside the resident int4 stack); 2 = "
+                         "merged posi+nega batch")
     ap.add_argument("--train-step", action="store_true", default=True)
     ap.add_argument("--skip-train", dest="train_step", action="store_false")
-    ap.add_argument("--skip-bf16", action="store_true")
+    # True tunnel bandwidth is ~20-40 MB/s (docs/PERF_NOTES_r3.md): a
+    # 32 GB bf16 streamed pass is ~15-25 min, so it is opt-in now.
+    ap.add_argument("--skip-bf16", action="store_true", default=True)
+    ap.add_argument("--with-bf16", dest="skip_bf16", action="store_false")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default="/tmp/measure_14b.json")
     args = ap.parse_args()
@@ -361,7 +433,8 @@ def main():
     out = measure(args)
     if not args.tiny and "vae_encode_ms" in out:
         # the Ditto VACE edit: 2 vace encodes (inactive/reactive masks,
-        # wan_video_new.py:861-920) + denoise + decode + T5
+        # wan_video_new.py:861-920) + denoise (already includes both CFG
+        # branches regardless of --batch) + decode + T5
         e2e = (out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
                + out[f"{args.mode}_denoise_s"] + out["vae_decode_ms"] / 1e3)
         out["recipe_video_s_measured"] = e2e

@@ -65,7 +65,8 @@ class WanBlockStreamer:
                  activation_headroom_gb: float = 2.5,
                  resident_blocks: Optional[int] = None,
                  prefetch_depth: int = 3, num_streams: int = 8,
-                 device=None):
+                 device=None, quant_min_size: int = 1 << 16,
+                 quant_min_dim: int = 128):
         if mode not in ("int4", "int8", "bf16"):
             raise ValueError(f"unsupported streaming mode {mode!r}")
         self.cfg = cfg
@@ -76,8 +77,12 @@ class WanBlockStreamer:
         self.prefetch_depth = prefetch_depth
         self._jits: Dict[Any, Any] = {}
 
-        quantize = {"int8": host_quantize_int8, "int4": host_quantize_int4,
-                    "bf16": lambda t: t}[mode]
+        quantize = {
+            "int8": partial(host_quantize_int8, min_size=quant_min_size,
+                            min_dim=quant_min_dim),
+            "int4": partial(host_quantize_int4, min_size=quant_min_size,
+                            min_dim=quant_min_dim),
+            "bf16": lambda t: t}[mode]
         small = {k: v for k, v in dit_params.items() if k != "blocks"}
         blocks_host = _to_host_np(dit_params["blocks"])
         blocks_host = quantize(blocks_host)
@@ -112,15 +117,23 @@ class WanBlockStreamer:
             self.vace_small = jax.device_put(
                 jax.tree_util.tree_map(jnp.asarray, vace_small), self.device)
 
-        if resident_blocks > 0:
-            resident_host = jax.tree_util.tree_map(
-                lambda x: x[:resident_blocks], blocks_host)
-            self.resident = self.loader.put(resident_host).get()
-        else:
-            self.resident = None
+        # Resident blocks are stored PRE-SPLIT into the segments the vace-
+        # interleaved walk actually runs ([bound, bound) between injection
+        # points): forward never slices the stack on device, which would
+        # transiently DOUBLE resident HBM (a [0:40) slice of the full 14B
+        # int4 stack is an 8.6 GB copy — the round-3 OOM).
+        bounds = [0, resident_blocks]
+        if vace_cfg is not None:
+            bounds += [j + 1 for j in vace_cfg.vace_layers
+                       if 0 < j + 1 < resident_blocks]
+        self._seg_bounds = sorted(set(b for b in bounds if b >= 0))
+        self.resident_segs: List[Tuple[int, int, Any]] = []
+        for a, b in zip(self._seg_bounds[:-1], self._seg_bounds[1:]):
+            seg_host = jax.tree_util.tree_map(lambda x: x[a:b], blocks_host)
+            self.resident_segs.append((a, b, self.loader.put(seg_host).get()))
         self.streamed_host = split_host_blocks(blocks_host, resident_blocks, n)
 
-        self.vace_resident = None
+        self.vace_resident_blocks = None
         self.vace_streamed_host = None
         if vace_blocks_host is not None:
             vace_bytes = tree_bytes(vace_blocks_host)
@@ -128,7 +141,13 @@ class WanBlockStreamer:
                 - (resident_blocks * per_block) - tree_bytes(small) * 2 \
                 - (prefetch_depth + 2) * per_block
             if spare >= vace_bytes and resident_blocks == n:
-                self.vace_resident = self.loader.put(vace_blocks_host).get()
+                # per-block device trees: the walk uses one VACE block at a
+                # time, so there is no reason to keep them stacked (slicing
+                # a stacked tree on device copies)
+                self.vace_resident_blocks = [
+                    self.loader.put(jax.tree_util.tree_map(
+                        lambda x: x[i:i + 1], vace_blocks_host)).get()
+                    for i in range(self.num_vace)]
             else:
                 self.vace_streamed_host = split_host_blocks(
                     vace_blocks_host, 0, self.num_vace)
@@ -272,23 +291,24 @@ class WanBlockStreamer:
         while si < len(schedule):
             kind, idx = schedule[si]
             if kind == "trunk" and idx < self.resident_blocks:
-                # coalesce a contiguous resident run into one scan call
+                # coalesce a contiguous resident run; execute it as the
+                # pre-split segments it covers (no device-side slicing)
                 start = idx
                 while (si + 1 < len(schedule)
                        and schedule[si + 1][0] == "trunk"
                        and schedule[si + 1][1] < self.resident_blocks):
                     si += 1
                 stop = schedule[si][1] + 1
-                seg = M.slice_blocks(self.resident, start, stop)
-                x = self._run_block(seg, x, ctx, t_mod, cos, sin)
+                for a, b, seg in self.resident_segs:
+                    if a >= start and b <= stop:
+                        x = self._run_block(seg, x, ctx, t_mod, cos, sin)
             elif kind == "trunk":
                 pending, block = queue.pop()
                 x = self._run_block(block, x, ctx, t_mod, cos, sin)
                 pending.delete()
             else:  # vace
-                if self.vace_resident is not None:
-                    vb = jax.tree_util.tree_map(
-                        lambda a: a[idx:idx + 1], self.vace_resident)
+                if self.vace_resident_blocks is not None:
+                    vb = self.vace_resident_blocks[idx]
                     c, hint = self._run_vace_block(vb, c, ctx, t_mod, cos, sin)
                 else:
                     pending, vb = queue.pop()
@@ -339,18 +359,27 @@ class WanBlockStreamer:
 
     # diagnostics ------------------------------------------------------
 
+    def resident_block(self, idx: int):
+        """One trunk block (1, ...) from the pre-split resident segments."""
+        for a, b, seg in self.resident_segs:
+            if a <= idx < b:
+                return M.slice_blocks(seg, idx - a, idx - a + 1)
+        raise IndexError(f"block {idx} is not resident")
+
     def plan_summary(self) -> dict:
         streamed_bytes = sum(tree_bytes(b) for b in self.streamed_host)
         if self.vace_streamed_host is not None:
             streamed_bytes += sum(tree_bytes(b) for b in self.vace_streamed_host)
+        resident_bytes = sum(tree_bytes(seg) for _, _, seg in
+                             self.resident_segs)
+        if self.vace_resident_blocks is not None:
+            resident_bytes += sum(tree_bytes(b)
+                                  for b in self.vace_resident_blocks)
         return {
             "mode": self.mode,
             "num_layers": self.num_layers,
             "resident_blocks": self.resident_blocks,
-            "vace_resident": self.vace_resident is not None,
-            "resident_gb": (tree_bytes(self.resident) / 1e9
-                            if self.resident is not None else 0.0)
-                           + (tree_bytes(self.vace_resident) / 1e9
-                              if self.vace_resident is not None else 0.0),
+            "vace_resident": self.vace_resident_blocks is not None,
+            "resident_gb": resident_bytes / 1e9,
             "streamed_gb_per_pass": streamed_bytes / 1e9,
         }

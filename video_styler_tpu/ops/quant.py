@@ -263,6 +263,48 @@ def quantize_params(params, mode: str = "int8",
     return walk(params)
 
 
+def dequant_leaf(p, dtype=jnp.bfloat16):
+    """Any quantized linear leaf ({"w_q"} int8/fp8 or {"w_q4"} packed int4,
+    per-column or group scales) -> {"w": dtype, ...} full-precision leaf.
+
+    This is the QLoRA-style training contract: the frozen base stays
+    quantized in memory and is dequantized per use, so forward and backward
+    run the SAME full-precision math (exact gradients, no straight-through
+    estimator needed) while resident HBM stays at the packed size."""
+    if "w_q4" in p:
+        q = unpack_int4(p["w_q4"]).astype(jnp.float32)
+        if p["w_scale"].ndim == p["w_q4"].ndim + 1:  # group scales
+            in_dim, out_dim = q.shape[-2], q.shape[-1]
+            groups = p["w_scale"].shape[-3]
+            g = q.reshape(q.shape[:-2] + (groups, in_dim // groups, out_dim))
+            w = (g * p["w_scale"]).reshape(q.shape)
+        else:
+            w = q * p["w_scale"]
+    elif "w_q" in p:
+        w = p["w_q"].astype(jnp.float32) * p["w_scale"]
+    else:
+        return p
+    out = {k: v for k, v in p.items() if k not in ("w_q", "w_q4", "w_scale")}
+    out["w"] = w.astype(dtype)
+    return out
+
+
+def dequantize_params(params, dtype=jnp.bfloat16):
+    """Tree-walk inverse of quantize_params: every quantized linear leaf
+    becomes a plain {"w", "b"} leaf in `dtype`. Use per block (not on a
+    whole model) so the dequantized transient stays O(one block)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "w_q" in node or "w_q4" in node:
+                return dequant_leaf(node, dtype)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 def quantized_fraction(params) -> float:
     """Diagnostic: fraction of linear-leaf elements running quantized."""
     q = n = 0

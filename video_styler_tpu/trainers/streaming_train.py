@@ -42,13 +42,36 @@ def _slice_lora(lora: Optional[Dict], i: int):
             for path, ab in lora.items()}
 
 
-def _block_with_lora(base_block, lora_slice, scale: float):
-    """Materialize W + scale*A@B on the (1, in, out) stacked slice."""
+def _block_with_lora(base_block, lora_slice, scale: float,
+                     dtype=jnp.bfloat16):
+    """Materialize W + scale*A@B on the (1, in, out) stacked slice.
+
+    A quantized base (int8/fp8/int4 leaves from a WanBlockStreamer running
+    in a quantized mode) is dequantized to `dtype` first — the QLoRA
+    contract: the frozen base lives packed in HBM, each block dequantizes
+    per use, and forward/backward run identical full-precision math (exact
+    LoRA gradients, no straight-through estimator). The dequantized weights
+    exist only as block-local transients inside the per-block jit."""
+    from ..ops.quant import dequantize_params
+    base_block = dequantize_params(base_block, dtype)
     if lora_slice is None:
         return base_block
     remap = {path.split(".", 1)[1]: ab for path, ab in lora_slice.items()
              if path.startswith("blocks.")}
     return apply_lora(base_block, remap, scale=scale)
+
+
+def _vace_with_lora(vb, lora_slice, scale: float, dtype=jnp.bfloat16):
+    """Same as _block_with_lora for a {"block", "after"} VACE slice."""
+    from ..ops.quant import dequantize_params
+    vb = dequantize_params(vb, dtype)
+    if lora_slice is None:
+        return vb
+    inner = {path.split(".", 1)[1]: ab for path, ab in lora_slice.items()
+             if path.startswith("blocks.")}
+    out = dict(vb)
+    out["block"] = apply_lora(vb["block"], inner, scale)
+    return out
 
 
 class StreamingTrainer:
@@ -73,7 +96,7 @@ class StreamingTrainer:
         cfg = self.s.cfg
 
         def fn(block_p, lora_i, x, ctx, t_mod, cos, sin):
-            bp = _block_with_lora(block_p, lora_i, self.scale)
+            bp = _block_with_lora(block_p, lora_i, self.scale, x.dtype)
 
             def scan_fn(carry, layer_p):
                 return M.dit_block(layer_p, carry, ctx, t_mod, cos, sin,
@@ -91,7 +114,7 @@ class StreamingTrainer:
 
         def fn(block_p, lora_i, x_in, ctx, t_mod, cos, sin, dx):
             def block(lora_i, x):
-                bp = _block_with_lora(block_p, lora_i, self.scale)
+                bp = _block_with_lora(block_p, lora_i, self.scale, x.dtype)
 
                 def scan_fn(carry, layer_p):
                     return M.dit_block(layer_p, carry, ctx, t_mod, cos, sin,
@@ -118,13 +141,7 @@ class StreamingTrainer:
 
         def fn(vb, lora_i, c_in, ctx, t_mod, cos, sin, d_c, d_hint):
             def block(lora_i, c):
-                bp = dict(vb)
-                if lora_i is not None:
-                    inner = {path.split(".", 1)[1]: ab
-                             for path, ab in lora_i.items()
-                             if path.startswith("blocks.")}
-                    bp = dict(bp)
-                    bp["block"] = apply_lora(vb["block"], inner, self.scale)
+                bp = _vace_with_lora(vb, lora_i, self.scale, c.dtype)
 
                 def scan_fn(carry, layer_p):
                     carry = M.dit_block(layer_p["block"], carry, ctx, t_mod,
@@ -247,14 +264,13 @@ class StreamingTrainer:
     def _trunk_block(self, idx: int):
         s = self.s
         if idx < s.resident_blocks:
-            return M.slice_blocks(s.resident, idx, idx + 1)
+            return s.resident_block(idx)
         return self._put(s.streamed_host[idx - s.resident_blocks])
 
     def _vace_block(self, idx: int):
         s = self.s
-        if s.vace_resident is not None:
-            return jax.tree_util.tree_map(lambda a: a[idx:idx + 1],
-                                          s.vace_resident)
+        if s.vace_resident_blocks is not None:
+            return s.vace_resident_blocks[idx]
         return self._put(s.vace_streamed_host[idx])
 
     def _put(self, host_tree):
@@ -264,13 +280,7 @@ class StreamingTrainer:
         bcfg = self.s.vace_cfg.block_cfg()
 
         def fn(vb, lora_i, c, ctx, t_mod, cos, sin):
-            bp = vb
-            if lora_i is not None:
-                inner = {path.split(".", 1)[1]: ab
-                         for path, ab in lora_i.items()
-                         if path.startswith("blocks.")}
-                bp = dict(vb)
-                bp["block"] = apply_lora(vb["block"], inner, self.scale)
+            bp = _vace_with_lora(vb, lora_i, self.scale, c.dtype)
 
             def scan_fn(carry, layer_p):
                 carry = M.dit_block(layer_p["block"], carry, ctx, t_mod,
