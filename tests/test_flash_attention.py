@@ -129,3 +129,65 @@ def test_int8_smoothing_invariance():
         b = np.asarray(fa._flash_fwd_3d_int8(q, k + 3.0, v, scale, 128, 128),
                        np.float32)
     np.testing.assert_allclose(a, b, rtol=0.05, atol=0.02)
+
+
+def _interp(monkeypatch):
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    return fa
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
+def test_pallas_4d_kernel_interpret_mode(sq, sk, monkeypatch):
+    """Layout-native (B, S, N, D) kernel == sdpa, including in-kernel
+    softmax-scale folding and S padding."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (2, sq, 3, 32))
+    k = _rand(1, (2, sk, 3, 32))
+    v = _rand(2, (2, sk, 3, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                      block_k=128))
+    want = np.asarray(sdpa(q, k, v, scale=scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_4d_gradients(monkeypatch):
+    """custom_vjp of the 4-D entry: grads match sdpa autodiff."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (1, 128, 2, 32))
+    k = _rand(1, (1, 160, 2, 32))
+    v = _rand(2, (1, 160, 2, 32))
+
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(jnp.square(sdpa(q, k, v))),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.square(fa.flash_attention(q, k, v))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
+def test_pallas_int8_4d_kernel_interpret_mode(sq, sk, monkeypatch):
+    fa = _interp(monkeypatch)
+    q = _rand(0, (2, sq, 3, 32))
+    k = _rand(1, (2, sk, 3, 32)) + 0.7   # K mean offset: smoothing absorbs
+    v = _rand(2, (2, sk, 3, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
+                                           block_k=128), np.float32)
+    want = np.asarray(sdpa(q, k, v, scale=scale), np.float32)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(got, want, rtol=0.2, atol=0.05)

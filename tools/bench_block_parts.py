@@ -62,6 +62,8 @@ def main():
 
     def rec(name, ms, flops):
         rows.append((name, ms, flops / (ms / 1e3) / 1e12))
+        print(f"[{time.strftime('%H:%M:%S')}] {name}: {ms:.2f} ms "
+              f"{rows[-1][2]:.1f} TF/s", flush=True)
 
     f = jax.jit(lambda x, w: jnp.dot(x, w))
     rec("dot bf16->bf16", timeit(lambda: f(x, w)), flops_dd)
@@ -78,25 +80,75 @@ def main():
                 .astype(jnp.bfloat16))
     rec("fused qkv (D,3D) dot", timeit(lambda: f(x, w3)), 3 * flops_dd)
 
-    def three(x, w):
-        return (jnp.dot(x, w, preferred_element_type=jnp.float32),
-                jnp.dot(x, w, preferred_element_type=jnp.float32),
-                jnp.dot(x, w, preferred_element_type=jnp.float32))
-    f = jax.jit(three)
-    rec("3 separate qkv dots", timeit(lambda: f(x, w)[0]), 3 * flops_dd)
+    wb = jax.random.normal(jax.random.PRNGKey(7), (D, D), jnp.bfloat16) * 0.02
+    wc = jax.random.normal(jax.random.PRNGKey(8), (D, D), jnp.bfloat16) * 0.02
 
-    def ffn(x):
+    def three(x, w, wb, wc):
+        # distinct weights: identical operands would be CSE'd to one dot
+        return (jnp.dot(x, w, preferred_element_type=jnp.float32),
+                jnp.dot(x, wb, preferred_element_type=jnp.float32),
+                jnp.dot(x, wc, preferred_element_type=jnp.float32))
+    f = jax.jit(three)
+    rec("3 separate qkv dots", timeit(lambda: f(x, w, wb, wc)[0]),
+        3 * flops_dd)
+
+    def ffn(x, wf1, wf2):
         from video_styler_tpu.ops.basic import gelu_tanh
         h = jnp.dot(x, wf1, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         return jnp.dot(gelu_tanh(h), wf2,
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     f = jax.jit(ffn)
-    rec("ffn fc1+gelu+fc2", timeit(lambda: f(x)), flops_ffn)
+    rec("ffn fc1+gelu+fc2", timeit(lambda: f(x, wf1, wf2)), flops_ffn)
+
+    f = jax.jit(lambda x, wf1: jnp.dot(x, wf1,
+                                       preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16))
+    rec("fc1 dot (D,FFN)", timeit(lambda: f(x, wf1)), flops_ffn // 2)
+    h2 = jax.random.normal(k, (1, S, FFN), jnp.bfloat16)
+    f = jax.jit(lambda h, wf2: jnp.dot(h, wf2,
+                                       preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16))
+    rec("fc2 dot (FFN,D)", timeit(lambda: f(h2, wf2)), flops_ffn // 2)
 
     from video_styler_tpu.ops.attention import attention
     q = jax.random.normal(k, (1, S, H, D // H), jnp.bfloat16)
     f = jax.jit(lambda q: attention(q, q, q))
-    rec("flash attention", timeit(lambda: f(q)), flops_attn)
+    rec("flash attention (4d layout)", timeit(lambda: f(q)), flops_attn)
+
+    # old path for comparison: transpose to (B*N, S, D) around the 3-D kernel
+    from video_styler_tpu.ops import flash_attention as FA
+
+    def old_path(q4):
+        b, s, n, d = q4.shape
+        q3 = q4.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+        scale = 1.0 / (d ** 0.5)
+        q3s = (q3.astype(jnp.float32) * (scale * FA.LOG2_E)).astype(q3.dtype)
+        out = FA._flash_fwd_3d(q3s, q3, q3, 1.0)  # scale pre-folded
+        return out.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+    f = jax.jit(old_path)
+    rec("flash attention (3d+transpose)", timeit(lambda: f(q)), flops_attn)
+
+    # RoPE application cost (fp32 interleaved rotate, both q and k)
+    from video_styler_tpu.ops.rope import assemble_freqs_grid, rope_apply
+    cos_r, sin_r = assemble_freqs_grid(D // H, 19, 30, 52)
+    f = jax.jit(lambda q: (rope_apply(q, cos_r, sin_r),
+                           rope_apply(q, cos_r, sin_r)))
+    rec("rope q+k (elementwise)", timeit(lambda: f(q)[0]), 0)
+
+    # rms_norm -> reshape -> rope fused chain (what the block actually runs)
+    from video_styler_tpu.ops.basic import rms_norm
+    scale_p = {"scale": jnp.ones((D,), jnp.bfloat16)}
+    f = jax.jit(lambda x: rope_apply(
+        rms_norm(scale_p, x).reshape(1, S, H, D // H), cos_r, sin_r))
+    rec("rms+reshape+rope chain", timeit(lambda: f(x)), 0)
+
+    # bf16 runtime-concat fused qkv: one (D, 3D) dot from three (D, D) leaves
+    def concat_qkv(x, w):
+        w3c = jnp.concatenate([w, w, w], axis=-1)
+        return jnp.dot(x, w3c, preferred_element_type=jnp.float32) \
+            .astype(jnp.bfloat16)
+    f = jax.jit(concat_qkv)
+    rec("concat+fused qkv dot", timeit(lambda: f(x, w)), 3 * flops_dd)
 
     from video_styler_tpu.ops.basic import layer_norm, modulate
     mod = jax.random.normal(k, (1, 1, D), jnp.bfloat16)

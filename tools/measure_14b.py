@@ -184,6 +184,7 @@ def measure(args):
         lat_shape = (args.batch, 16, 19, 60, 104)
         ctx_shape = (args.batch, 512, cfg.text_dim)
     branch_passes = max(1, 2 // args.batch)  # CFG branches per denoise step
+    out["branches_per_pass"] = args.batch  # merged batch-2 covers both CFG branches
 
     # ---------------- stage 1: umT5-xxl encode (measured) ----------------
     if not args.tiny:

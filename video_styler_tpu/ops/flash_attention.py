@@ -27,11 +27,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on v5e (32k seq, 12 heads, d=128): 1024/2048 + exp2 -> 148 TF/s
-# (75% of bf16 peak); 1024/1024 -> 139, 256/512 -> 65. 2048/2048 and
-# 1024/3072 exceed the 16MB VMEM budget (the fp32 s block dominates).
+# Tuned on v5e for the layout-native 4-D kernel (tools/sweep_flash_blocks):
+#   14B self-attn (29,640 tok, 40 heads, d=128): 1024/1024 -> 136.5 ms
+#     (132 TF/s, 67% bf16 peak); 1024/2048 -> 154, 512/1024 -> 146.
+#   1.3B self-attn (32,760 tok, 12 heads): 1024/1024 -> 54.1 ms (122 TF/s).
+# 2048/2048 exceeds the VMEM budget (the fp32 s block dominates). The
+# remaining gap to the 91 ms MXU floor is the softmax VPU chain
+# (sub+exp2+max+sum over S^2*N elements) partially serializing with the MXU.
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 2048
+DEFAULT_BLOCK_K = 1024
 LOG2_E = 1.4426950408889634
 NEG_INF = -1e30
 
@@ -61,9 +65,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
         preferred_element_type=jnp.float32)          # (BQ, BK)
 
     if kv_len % block_k != 0:
+        # one broadcast ADD per element instead of iota+compare+select (4
+        # VPU ops): the (1, BK) bias row costs O(BK) to build and the
+        # kernel is VPU-bound at long seq (137 -> ~119 ms at 29,640 tokens)
         kv_pos = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kv_pos < kv_len, s, NEG_INF)
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
 
     m_prev = m_scr[:]                               # (BQ, 1)
     l_prev = l_scr[:]
@@ -129,6 +136,117 @@ def _flash_fwd_3d(q, k, v, scale: float,
     return out[:, :sq] if sq_pad else out
 
 
+def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                     acc_scr, *, kv_steps: int, kv_len: int, block_k: int,
+                     q_scale: float):
+    """Layout-native variant: the (B, S, N, D) activations are viewed as
+    (B, S, N*D) and each head's (BQ, D) tile is carved out as a COLUMN
+    block (the head axis rides the grid via the index_map's column index),
+    so the caller never materializes the (B*N, S, D) transpose — at the
+    14B DiT shape that removes four ~300 MB HBM copies per self-attention
+    call. The softmax scale (x log2 e) is folded into the q tile on-load
+    (f32 upcast, multiply, bf16 downcast: identical rounding to the old
+    out-of-kernel fold)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D)
+    k = k_ref[0]                                    # (BK, D)
+    v = v_ref[0]                                    # (BK, D)
+    q = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BQ, BK)
+
+    if kv_len % block_k != 0:
+        # one broadcast ADD per element instead of iota+compare+select (4
+        # VPU ops): the (1, BK) bias row costs O(BK) to build and the
+        # kernel is VPU-bound at long seq (137 -> ~119 ms at 29,640 tokens)
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    m_prev = m_scr[:]                               # (BQ, 1)
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)                         # (BQ, BK) fp32
+    alpha = jnp.exp2(m_prev - m_new)                # (BQ, 1)
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_4d(q, k, v, scale: float,
+                  block_q: int = DEFAULT_BLOCK_Q,
+                  block_k: int = DEFAULT_BLOCK_K):
+    """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D), no transposes.
+
+    Internally runs on (B, S, N*D) views (free reshapes) with per-head
+    column blocks — Mosaic's block-shape rule only allows the last two
+    block dims, so the head axis cannot be a singleton block dim itself."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    q_steps = pl.cdiv(sq, block_q)
+    kv_steps = pl.cdiv(sk, block_k)
+    sq_pad = q_steps * block_q - sq
+    sk_pad = kv_steps * block_k - sk
+    q = q.reshape(b, sq, n * d)
+    k = k.reshape(b, sk, n * d)
+    v = v.reshape(b, sk, n * d)
+    if sq_pad:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad), (0, 0)))
+    if sk_pad:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
+
+    kernel = functools.partial(_flash_kernel_4d, kv_steps=kv_steps,
+                               kv_len=sk, block_k=block_k,
+                               q_scale=scale * LOG2_E)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda b, n, qi, ki: (b, qi, n)),
+        out_shape=jax.ShapeDtypeStruct((b, q_steps * block_q, n * d),
+                                       q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * n * sq * sk,
+        ),
+    )(q, k, v)
+    out = out[:, :sq] if sq_pad else out
+    return out.reshape(b, sq, n, d)
+
+
 def chunked_attention(q, k, v, scale: float, block_k: int = 1024):
     """Differentiable memory-safe attention: lax.scan over KV blocks with an
     online softmax in fp32. Same math as the Pallas kernel; used as the
@@ -185,17 +303,45 @@ def _flash_3d_bwd(scale, res, g):
 _flash_3d.defvjp(_flash_3d_fwd, _flash_3d_bwd)
 
 
-def flash_attention(q, k, v, scale: Optional[float] = None):
-    """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D)."""
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_4d(q, k, v, scale):
+    return _flash_fwd_4d(q, k, v, scale)
+
+
+def _flash_4d_fwd(q, k, v, scale):
+    return _flash_fwd_4d(q, k, v, scale), (q, k, v)
+
+
+def _chunked_4d(q, k, v, scale):
     b, sq, n, d = q.shape
     sk = k.shape[1]
     q3 = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
     k3 = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
     v3 = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    out = _flash_3d(q3, k3, v3, scale)
+    out = chunked_attention(q3, k3, v3, scale)
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_4d_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _chunked_4d(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_4d.defvjp(_flash_4d_fwd, _flash_4d_bwd)
+
+
+def flash_attention(q, k, v, scale: Optional[float] = None):
+    """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D).
+
+    Layout-native: the Pallas grid iterates the head axis directly, so the
+    (B, S, N, D) activations are never transposed to (B*N, S, D) — that
+    transpose cost four ~300 MB HBM copies per self-attention call at the
+    14B DiT shape. The backward differentiates the chunked-scan reference
+    (memory-safe, numerically identical)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_4d(q, k, v, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -244,9 +390,12 @@ def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
     s = s.astype(jnp.float32) * qs_ref[0] * ks_ref[0]
 
     if kv_len % block_k != 0:
+        # one broadcast ADD per element instead of iota+compare+select (4
+        # VPU ops): the (1, BK) bias row costs O(BK) to build and the
+        # kernel is VPU-bound at long seq (137 -> ~119 ms at 29,640 tokens)
         kv_pos = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(kv_pos < kv_len, s, NEG_INF)
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
 
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -336,15 +485,129 @@ def _flash_fwd_3d_int8(q, k, v, scale: float,
     return out[:, :sq] if sq_pad else out
 
 
-def flash_attention_int8(q, k, v, scale: Optional[float] = None):
-    """SageAttention-style int8 flash attention.
-    q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D) bf16."""
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
+def _flash_kernel_int8_4d(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
+                          m_scr, l_scr, acc_scr, *, kv_steps: int,
+                          kv_len: int, block_k: int):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D) int8
+    k = k_ref[0]                                    # (BK, D) int8
+    v = v_ref[0]                                    # (BK, D) bf16
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)           # (BQ, BK) int32
+    s = s.astype(jnp.float32) * qs_ref[0, 0] * ks_ref[0, 0]
+
+    if kv_len % block_k != 0:
+        # one broadcast ADD per element instead of iota+compare+select (4
+        # VPU ops): the (1, BK) bias row costs O(BK) to build and the
+        # kernel is VPU-bound at long seq (137 -> ~119 ms at 29,640 tokens)
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_scr[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_fwd_4d_int8(q, k, v, scale: float,
+                       block_q: int = DEFAULT_BLOCK_Q,
+                       block_k: int = DEFAULT_BLOCK_K):
+    """q/k/v: (B, S, N, D) float -> (B, Sq, N, D) bf16; int8 QK^T (K
+    mean-smoothed over tokens), bf16 PV — layout-native, no transposes.
+
+    The per-token scale vectors ride as (B, N, Sq, 1) / (B, N, 1, Sk)
+    arrays whose singleton axes satisfy Mosaic's last-two-dims block rule
+    (they are tiny: B*N*S floats)."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
-    q3 = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
-    k3 = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    v3 = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    out = _flash_fwd_3d_int8(q3, k3, v3, scale)
-    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    q_steps = pl.cdiv(sq, block_q)
+    kv_steps = pl.cdiv(sk, block_k)
+    sq_pad = q_steps * block_q - sq
+    sk_pad = kv_steps * block_k - sk
+
+    # K smoothing: softmax is invariant to the per-row constant q . k_mean
+    k_smooth = k.astype(jnp.float32) - jnp.mean(k.astype(jnp.float32),
+                                                axis=1, keepdims=True)
+    q_i8, q_s = _quantize_rows_int8(q)              # scales (B, Sq, N, 1)
+    k_i8, k_s = _quantize_rows_int8(k_smooth)
+    q_s = q_s * (scale * LOG2_E)
+    v = v.astype(jnp.bfloat16)
+
+    q_i8 = q_i8.reshape(b, sq, n * d)
+    k_i8 = k_i8.reshape(b, sk, n * d)
+    v = v.reshape(b, sk, n * d)
+    qs_cols = q_s[..., 0].transpose(0, 2, 1)[..., None]  # (B, N, Sq, 1)
+    ks_rows = k_s[..., 0].transpose(0, 2, 1)[:, :, None, :]  # (B, N, 1, Sk)
+    if sq_pad:
+        q_i8 = jnp.pad(q_i8, ((0, 0), (0, sq_pad), (0, 0)))
+        qs_cols = jnp.pad(qs_cols, ((0, 0), (0, 0), (0, sq_pad), (0, 0)))
+    if sk_pad:
+        k_i8 = jnp.pad(k_i8, ((0, 0), (0, sk_pad), (0, 0)))
+        ks_rows = jnp.pad(ks_rows, ((0, 0), (0, 0), (0, 0), (0, sk_pad)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
+
+    kernel = functools.partial(_flash_kernel_int8_4d, kv_steps=kv_steps,
+                               kv_len=sk, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, n, qi, ki: (b, n, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_k),
+                         lambda b, n, qi, ki: (b, n, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda b, n, qi, ki: (b, qi, n)),
+        out_shape=jax.ShapeDtypeStruct((b, q_steps * block_q, n * d),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * sq * sk * d,
+            bytes_accessed=(q_i8.size + k_i8.size + v.size * 2),
+            transcendentals=b * n * sq * sk,
+        ),
+    )(q_i8, k_i8, v, qs_cols, ks_rows)
+    out = out[:, :sq] if sq_pad else out
+    return out.reshape(b, sq, n, d)
+
+
+def flash_attention_int8(q, k, v, scale: Optional[float] = None):
+    """SageAttention-style int8 flash attention, layout-native.
+    q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D) in q.dtype."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_fwd_4d_int8(q, k, v, scale).astype(q.dtype)
