@@ -30,8 +30,14 @@ N_PER_PROC = 4
 N_PROC = 2
 
 
-def _train_once(mesh, distributed: bool):
-    """One deterministic tiny train step on an 8-device (dp,fsdp,sp) mesh."""
+def _train_once(mesh, distributed: bool, pre_execute_barrier=None):
+    """One deterministic tiny train step on an 8-device (dp,fsdp,sp) mesh.
+
+    pre_execute_barrier: called AFTER the step is AOT-compiled and BEFORE it
+    executes. Cross-process runs pass a coordination-service barrier here so
+    every process enters its first collective near-simultaneously — Gloo's
+    context bootstrap only allows 30 s of skew, while concurrent single-core
+    compiles can finish minutes apart."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -80,7 +86,12 @@ def _train_once(mesh, distributed: bool):
                                       NamedSharding(mesh, P("dp")),
                                       NamedSharding(mesh, P("dp")), rep),
                         out_shardings=(rep, p_specs, o_specs))
-        loss, params, opt_state = jstep(params, opt_state, latents, context, rng)
+        compiled = jstep.lower(params, opt_state, latents, context,
+                               rng).compile()
+        if pre_execute_barrier is not None:
+            pre_execute_barrier()
+        loss, params, opt_state = compiled(params, opt_state, latents,
+                                           context, rng)
     return float(loss)
 
 
@@ -89,22 +100,42 @@ def child():
     if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
         os.environ["XLA_FLAGS"] += \
             f" --xla_force_host_platform_device_count={N_PER_PROC}"
+    if "--xla_cpu_collective_call_terminate_timeout_seconds" not in \
+            os.environ["XLA_FLAGS"]:
+        # a loaded single-core host can take minutes to get every partition
+        # thread to a collective; don't let XLA's 40 s default abort us
+        os.environ["XLA_FLAGS"] += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     import jax
     jax.config.update("jax_platforms", "cpu")
     from video_styler_tpu.parallel import distributed as D
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     D.initialize()  # env-driven: COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID
     assert jax.process_count() == N_PROC, jax.process_count()
     assert jax.device_count() == N_PROC * N_PER_PROC, jax.device_count()
 
     # seed sync: process 0 decides, everyone agrees (broadcast_object_list
-    # analog, video_enhancing_batch.py:347-350)
+    # analog, video_enhancing_batch.py:347-350). The coordination barrier
+    # aligns both processes before their FIRST device collective (Gloo
+    # context bootstrap tolerates only 30 s of arrival skew).
+    D.coordination_barrier("pre-broadcast")
     seed = D.broadcast_object(
         12345 if D.process_index() == 0 else -1)
     assert int(seed) == 12345, seed
 
     mesh = D.make_global_mesh(dp=2, fsdp=2, sp=2)
-    loss = _train_once(mesh, distributed=True)
+    loss = _train_once(
+        mesh, distributed=True,
+        pre_execute_barrier=lambda: D.coordination_barrier("pre-train"))
 
     # process-0-gated checkpoint IO
     ckpt_dir = os.environ["DRYRUN_CKPT_DIR"]
@@ -122,6 +153,11 @@ def single_process_reference():
     if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
         os.environ["XLA_FLAGS"] += \
             f" --xla_force_host_platform_device_count={N_PROC * N_PER_PROC}"
+    if "--xla_cpu_collective_call_terminate_timeout_seconds" not in \
+            os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     import jax
     jax.config.update("jax_platforms", "cpu")
     from video_styler_tpu.parallel.mesh import make_mesh
@@ -156,7 +192,7 @@ def parent():
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     results = {}
     for pid, p in enumerate(procs):
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=1500)
         if p.returncode != 0:
             print(err[-3000:], file=sys.stderr)
             raise RuntimeError(f"child {pid} failed rc={p.returncode}")
@@ -169,7 +205,7 @@ def parent():
                              f"{N_PROC * N_PER_PROC}"})
     env.pop("COORDINATOR_ADDRESS", None)
     p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                       capture_output=True, text=True, timeout=600)
+                       capture_output=True, text=True, timeout=1500)
     if p.returncode != 0:
         print(p.stderr[-3000:], file=sys.stderr)
         raise RuntimeError("single-process reference failed")

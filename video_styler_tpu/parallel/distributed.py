@@ -116,6 +116,27 @@ def sync_processes(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def coordination_barrier(name: str = "barrier",
+                         timeout_s: float = 1800.0) -> None:
+    """Barrier on the coordination SERVICE (no device collective).
+
+    Unlike sync_processes, this never touches the CPU/TPU collective stack,
+    so it is safe to use BEFORE the first collective executes. That matters
+    on CPU/Gloo: context bootstrap has a hardcoded 30 s key-exchange window
+    (GetKeyValue deadline), and if one process reaches its first collective
+    while a peer is still compiling — minutes apart on a loaded host — the
+    window lapses. AOT-compile, barrier here, then execute.
+    """
+    if not is_distributed():
+        return
+    try:
+        from jax._src import distributed as _dist
+        client = _dist.global_state.client
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+    except Exception:
+        sync_processes(name)  # fallback: device-collective barrier
+
+
 def broadcast_object(obj, root: int = 0):
     """Broadcast a small python object from `root` to all processes
     (reference: dist.broadcast_object_list for seeds/prompts at
