@@ -300,13 +300,21 @@ def main_measured(m, extra):
         extra["ditto14b_bf16_50step_video_s_composed_from_measured_pass"] = \
             round(m.get("bf16_50step_video_s_composed_from_measured_pass",
                         50 * m["bf16_pass_s"]), 1)
+    mode = next((k[:-len("_denoise_s")] for k in
+                 ("int4_denoise_s", "int8_denoise_s", "bf16_denoise_s")
+                 if k in m), "int4")
+    branches = ("merged-CFG batch 2" if m.get("branches_per_pass", 1) == 2
+                else "2 passes/step (one per CFG branch)")
+    resident = (m.get(f"plan_{mode}", {}) or {}).get("streamed_gb_per_pass")
+    xfer = ("fully HBM-resident quantized stack" if resident == 0.0 else
+            "host block streaming")
     extra["recipe_note"] = (
-        "MEASURED end-to-end on one v5e via host block streaming: the real "
-        "48-block int8 14B+VACE (the baseline ComfyUI recipe class: "
-        "quantized 14B + distill LoRA, 4 steps x merged CFG), umT5 + 2x VAE "
-        "encode + 4 denoise steps + decode in one process. Host link here "
-        "is a ~1.3 GB/s tunnel; a production host (PCIe) hides transfers "
-        "entirely.")
+        f"MEASURED end-to-end on one v5e: the real 48-block {mode} 14B+VACE "
+        f"({xfer}; the baseline ComfyUI recipe class: quantized 14B + "
+        f"distill LoRA, 4 steps, {branches}), umT5 + 2x VAE encode + "
+        "4 denoise steps + decode in one process. Host link here is a "
+        "~1.3 GB/s tunnel; a production host (PCIe) hides streaming-mode "
+        "transfers entirely.")
     extra["baseline_note"] = (
         "240 s = A6000 ComfyUI fp8+CausVid-distill path (README.md:78)")
 

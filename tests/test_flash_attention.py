@@ -191,3 +191,18 @@ def test_pallas_int8_4d_kernel_interpret_mode(sq, sk, monkeypatch):
     cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.999, cos
     np.testing.assert_allclose(got, want, rtol=0.2, atol=0.05)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520), (256, 900)])
+def test_pallas_4d_dual_kernel_interpret_mode(sq, sk, monkeypatch):
+    """Dual-chain variant (two KV chains merged per step) == sdpa,
+    including tail padding that clips an entire second half-block."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (2, sq, 3, 32))
+    k = _rand(1, (2, sk, 3, 32))
+    v = _rand(2, (2, sk, 3, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                      block_k=128, dual=True))
+    want = np.asarray(sdpa(q, k, v, scale=scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

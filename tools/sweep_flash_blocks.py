@@ -64,6 +64,17 @@ def main():
         except Exception as e:  # vmem overflow etc.
             print(f"bf16 bq={bq:5d} bk={bk:5d}: FAIL "
                   f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+    for bq, bk in [(512, 256), (512, 512), (1024, 256), (1024, 512),
+                   (1024, 1024), (2048, 512)]:
+        try:
+            f = jax.jit(lambda q, k, v, bq=bq, bk=bk: FA._flash_fwd_4d(
+                q, k, v, scale, block_q=bq, block_k=bk, dual=True))
+            ms = timeit(lambda: f(q, k, v))
+            print(f"dual bq={bq:5d} bk={bk:5d}x2: {ms:8.2f} ms "
+                  f"{flops/(ms/1e3)/1e12:6.1f} TF/s", flush=True)
+        except Exception as e:
+            print(f"dual bq={bq:5d} bk={bk:5d}x2: FAIL "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     for bq, bk in grid:
         try:
             f = jax.jit(lambda q, k, v, bq=bq, bk=bk: FA._flash_fwd_4d_int8(

@@ -34,6 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 # 2048/2048 exceeds the VMEM budget (the fp32 s block dominates). The
 # remaining gap to the 91 ms MXU floor is the softmax VPU chain
 # (sub+exp2+max+sum over S^2*N elements) partially serializing with the MXU.
+# Negative result (kept as the opt-in `dual` variant): splitting each KV
+# tile into two independent QK->softmax chains per grid step, hoping the
+# VLIW scheduler would overlap chain B's matmul with chain A's softmax,
+# measures 137.16 ms at 1024/1024x2 — identical to the single-chain kernel
+# (Mosaic serializes at the dependency fences); 512x2 (same VMEM as single
+# 1024) is WORSE (143.6). int8 QK at the same shape: 139 ms — the 2x MXU
+# int8 rate doesn't show because the kernel is VPU-bound.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 LOG2_E = 1.4426950408889634
@@ -189,22 +196,95 @@ def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _flash_kernel_4d_dual(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                          acc_scr, *, kv_steps: int, kv_len: int,
+                          block_k: int, q_scale: float):
+    """Two independent QK->softmax chains per grid step, merged into one
+    m/l/acc update. The per-step body QK -> softmax -> PV is a serial
+    MXU -> VPU -> MXU dependency chain (the measured 136.5 ms at the 14B
+    shape vs the 91 ms MXU floor is mostly unoverlapped VPU softmax);
+    splitting the KV tile in two gives the VLIW scheduler independent work
+    to interleave — chain B's matmul can run while chain A's softmax is on
+    the VPU — and halves the m/l bookkeeping per element."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D)
+    k2 = k_ref[0]                                   # (2*BK, D)
+    v2 = v_ref[0]
+    q = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+
+    sa = jax.lax.dot_general(
+        q, k2[:block_k], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BQ, BK)
+    sb = jax.lax.dot_general(
+        q, k2[block_k:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if kv_len % (2 * block_k) != 0:
+        base = ki * (2 * block_k) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        sa = sa + jnp.where(base < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+        sb = sb + jnp.where(base + block_k < kv_len, 0.0,
+                            NEG_INF).astype(jnp.float32)
+
+    m_prev = m_scr[:]                               # (BQ, 1)
+    l_prev = l_scr[:]
+    m_new = jnp.maximum(m_prev,
+                        jnp.maximum(jnp.max(sa, axis=1, keepdims=True),
+                                    jnp.max(sb, axis=1, keepdims=True)))
+    pa = jnp.exp2(sa - m_new)                       # (BQ, BK) fp32
+    pb = jnp.exp2(sb - m_new)
+    alpha = jnp.exp2(m_prev - m_new)                # (BQ, 1)
+    l_scr[:] = (l_prev * alpha
+                + jnp.sum(pa, axis=1, keepdims=True)
+                + jnp.sum(pb, axis=1, keepdims=True))
+    acc_scr[:] = (acc_scr[:] * alpha
+                  + jax.lax.dot_general(
+                      pa.astype(v2.dtype), v2[:block_k],
+                      (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      pb.astype(v2.dtype), v2[block_k:],
+                      (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32))
+    m_scr[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
 def _flash_fwd_4d(q, k, v, scale: float,
                   block_q: int = DEFAULT_BLOCK_Q,
-                  block_k: int = DEFAULT_BLOCK_K):
+                  block_k: int = DEFAULT_BLOCK_K,
+                  dual: Optional[bool] = None):
     """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D), no transposes.
 
     Internally runs on (B, S, N*D) views (free reshapes) with per-head
     column blocks — Mosaic's block-shape rule only allows the last two
-    block dims, so the head axis cannot be a singleton block dim itself."""
+    block dims, so the head axis cannot be a singleton block dim itself.
+
+    dual=True processes two block_k-wide KV chains per grid step (see
+    _flash_kernel_4d_dual); None reads the FLASH_DUAL env var (unset =
+    off)."""
+    import os
+    if dual is None:
+        dual = os.environ.get("FLASH_DUAL", "0") == "1"
     b, sq, n, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    kv_tile = 2 * block_k if dual else block_k
     q_steps = pl.cdiv(sq, block_q)
-    kv_steps = pl.cdiv(sk, block_k)
+    kv_steps = pl.cdiv(sk, kv_tile)
     sq_pad = q_steps * block_q - sq
-    sk_pad = kv_steps * block_k - sk
+    sk_pad = kv_steps * kv_tile - sk
     q = q.reshape(b, sq, n * d)
     k = k.reshape(b, sk, n * d)
     v = v.reshape(b, sk, n * d)
@@ -214,16 +294,17 @@ def _flash_fwd_4d(q, k, v, scale: float,
         k = jnp.pad(k, ((0, 0), (0, sk_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
 
-    kernel = functools.partial(_flash_kernel_4d, kv_steps=kv_steps,
-                               kv_len=sk, block_k=block_k,
-                               q_scale=scale * LOG2_E)
+    kernel = functools.partial(
+        _flash_kernel_4d_dual if dual else _flash_kernel_4d,
+        kv_steps=kv_steps, kv_len=sk, block_k=block_k,
+        q_scale=scale * LOG2_E)
     out = pl.pallas_call(
         kernel,
         grid=(b, n, q_steps, kv_steps),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
-            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
-            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+            pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
+            pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda b, n, qi, ki: (b, qi, n)),
