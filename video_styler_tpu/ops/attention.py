@@ -65,6 +65,16 @@ def attention(q, k, v, scale: Optional[float] = None, use_flash: Optional[bool] 
                 return _flash8(q, k, v, scale=scale)
             from .flash_attention import flash_attention as _flash
             return _flash(q, k, v, scale=scale)
-        except Exception:
-            pass
+        except Exception as e:
+            global _WARNED_FALLBACK
+            if not _WARNED_FALLBACK:
+                _WARNED_FALLBACK = True
+                import warnings
+                warnings.warn(
+                    f"flash attention unavailable at shape {q.shape} "
+                    f"({type(e).__name__}: {e}); falling back to XLA sdpa — "
+                    "a silent ~2x attention slowdown if this is a hot path.")
     return sdpa(q, k, v, scale=scale)
+
+
+_WARNED_FALLBACK = False
