@@ -30,7 +30,8 @@ from ..ops.basic import (
     linear, layer_norm, rms_norm, gelu_tanh, silu, modulate,
     sinusoidal_embedding_1d, init_linear, init_layer_norm, init_rms_norm,
 )
-from ..ops.rope import assemble_freqs_grid, rope_apply
+from ..ops.rope import assemble_freqs_grid
+from ..ops.fused_norm_rope import fused_rmsnorm_rope, fused_rmsnorm
 from ..ops.attention import attention
 from ..parallel.context import constrain
 
@@ -200,14 +201,15 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
             pq, pk, pv = (dequant_int4_leaf(pq), dequant_int4_leaf(pk),
                           dequant_int4_leaf(pv))
         q0, k0, v = fused_qkv_int8(pq, pk, pv, x)
-        q = rms_norm(p["norm_q"], q0, eps)
-        k = rms_norm(p["norm_k"], k0, eps)
     else:
-        q = rms_norm(p["norm_q"], linear(p["q"], x), eps)
-        k = rms_norm(p["norm_k"], linear(p["k"], x), eps)
+        q0 = linear(p["q"], x)
+        k0 = linear(p["k"], x)
         v = linear(p["v"], x)
-    q = rope_apply(q.reshape(b, s, num_heads, d // num_heads), cos, sin)
-    k = rope_apply(k.reshape(b, s, num_heads, d // num_heads), cos, sin)
+    # RMSNorm + RoPE in one fused Pallas pass on TPU (saves ~13 ms/block of
+    # elementwise HBM round-trips at the 14B shape); identical composition
+    # elsewhere
+    q, k = fused_rmsnorm_rope(q0, k0, p["norm_q"]["scale"],
+                              p["norm_k"]["scale"], cos, sin, eps)
     v = v.reshape(b, s, num_heads, d // num_heads)
     # Ulysses in GSPMD form: reshard seq-sharded tokens to head-sharded for
     # full-sequence attention (XLA emits the all_to_alls over ICI), then back.
@@ -228,7 +230,7 @@ def cross_attention(p, x, y, num_heads: int, eps: float = 1e-6,
         img, ctx = y[:, :257], y[:, 257:]
     else:
         ctx = y
-    q = rms_norm(p["norm_q"], linear(p["q"], x), eps)
+    q = fused_rmsnorm(linear(p["q"], x), p["norm_q"]["scale"], eps)
     k = rms_norm(p["norm_k"], linear(p["k"], ctx), eps)
     v = linear(p["v"], ctx)
     nh = num_heads
@@ -251,7 +253,13 @@ def ffn(p, x):
 
 
 def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig):
-    """One DiT block (wan_video_dit.py:196-230)."""
+    """One DiT block (wan_video_dit.py:196-230).
+
+    The LayerNorm+modulate chains deliberately stay XLA ops: a fused Pallas
+    LN+affine kernel measured 5.90 ms vs XLA's 5.44 ms at the 14B shape
+    (29,640 x 5120) — XLA already fuses the norm with the modulate epilogue.
+    The Q/K RMSNorm+RoPE chain, by contrast, is fused (see self_attention).
+    """
     x = constrain(x, "dp", "sp", None)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
         _split_mod(p["modulation"], t_mod, 6)
