@@ -206,3 +206,131 @@ def test_pallas_4d_dual_kernel_interpret_mode(sq, sk, monkeypatch):
                                       block_k=128, dual=True))
     want = np.asarray(sdpa(q, k, v, scale=scale))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
+def test_flash_custom_vjp_grads_match_sdpa(sq, sk, monkeypatch):
+    """The O(S) blockwise backward (_fa_bwd, driven by the kernel's saved
+    logsumexp) against direct autodiff of sdpa — including the padded-KV
+    masking path."""
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+
+    q = _rand(0, (1, sq, 2, 32))
+    k = _rand(1, (1, sk, 2, 32))
+    v = _rand(2, (1, sk, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    g = _rand(3, (1, sq, 2, 32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa._flash_4d(q, k, v, scale) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, scale=scale) * g)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_flash_3d_custom_vjp_grads(monkeypatch):
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    q = _rand(0, (2, 200, 32))
+    k = _rand(1, (2, 140, 32))
+    v = _rand(2, (2, 140, 32))
+    scale = 1.0 / np.sqrt(32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(fa._flash_3d(q, k, v, scale)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(chunked_attention(q, k, v, scale,
+                                                    block_k=128)))
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fa_bwd_low_memory_residuals(monkeypatch):
+    """The vjp residuals must be O(S*D): (q, k, v, out, logsumexp) — not a
+    stacked per-step softmax. Checked structurally on the fwd rule."""
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+    q = _rand(0, (1, 256, 2, 32))
+    out, res = fa._flash_4d_fwd(q, q, q, 0.1)
+    total = sum(np.prod(r.shape) for r in res)
+    assert total <= 5 * np.prod(q.shape)  # 4 tensors + stats, no S^2 term
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520), (520, 300)])
+def test_fa_bwd_pallas_matches_xla(sq, sk, monkeypatch):
+    """The Pallas dKV/dQ backward kernels against the XLA scan backward
+    (_fa_bwd) — covers Q-pad (inert rows via +1e30 logsumexp) and KV-pad
+    (-inf mask) paths."""
+    from jax.experimental import pallas as pl
+    import video_styler_tpu.ops.flash_attention as fa
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp_call)
+
+    n, d = 2, 128
+    q = _rand(0, (1, sq, n, d))
+    k = _rand(1, (1, sk, n, d))
+    v = _rand(2, (1, sk, n, d))
+    g = _rand(3, (1, sq, n, d))
+    scale = 1.0 / np.sqrt(d)
+    out, l2 = fa._flash_fwd_4d(q, k, v, scale, block_q=128, block_k=128,
+                               return_stats=True)
+
+    got = fa._fa_bwd_pallas(q, k, v, out, l2, g, scale,
+                            block_q=128, block_k=128)
+
+    def to3(t):
+        b, s, nn, dd = t.shape
+        return t.transpose(0, 2, 1, 3).reshape(b * nn, s, dd)
+
+    want = fa._fa_bwd(to3(q), to3(k), to3(v), to3(out),
+                      l2.reshape(-1, sq), to3(g), scale, block_k=128)
+    want = [w.reshape(1, n, -1, d).transpose(0, 2, 1, 3) for w in want]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

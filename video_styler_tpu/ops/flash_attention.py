@@ -12,9 +12,11 @@ sequential kv steps; the output block is written once on the last kv step.
 Q @ K^T and P @ V hit the MXU with fp32 accumulation. KV padding is masked
 with -inf using statically-known sequence lengths.
 
-Backward: jax.custom_vjp whose bwd differentiates a memory-safe chunked
-(lax.scan) online-softmax implementation — numerically identical attention,
-O(S * block) memory, so training at 30k tokens remats cleanly.
+Backward: jax.custom_vjp with the standard flash-attention backward — the
+forward also emits the per-row logsumexp, and the bwd recomputes S/P one KV
+block at a time (lax.scan) to form dQ/dK/dV in O(S * block) memory. (The
+previous bwd differentiated a chunked-scan forward, whose linearization
+stacks a per-step fp32 P — 140 GB at the 14B shape; it could not compile.)
 """
 from __future__ import annotations
 
@@ -143,9 +145,9 @@ def _flash_fwd_3d(q, k, v, scale: float,
     return out[:, :sq] if sq_pad else out
 
 
-def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
-                     acc_scr, *, kv_steps: int, kv_len: int, block_k: int,
-                     q_scale: float):
+def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, *rest,
+                     kv_steps: int, kv_len: int, block_k: int,
+                     q_scale: float, with_stats: bool = False):
     """Layout-native variant: the (B, S, N, D) activations are viewed as
     (B, S, N*D) and each head's (BQ, D) tile is carved out as a COLUMN
     block (the head axis rides the grid via the index_map's column index),
@@ -153,7 +155,15 @@ def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
     14B DiT shape that removes four ~300 MB HBM copies per self-attention
     call. The softmax scale (x log2 e) is folded into the q tile on-load
     (f32 upcast, multiply, bf16 downcast: identical rounding to the old
-    out-of-kernel fold)."""
+    out-of-kernel fold).
+
+    with_stats=True additionally writes the base-2 logsumexp
+    L2 = m + log2(l) per query row (the residual the O(S) blockwise
+    backward needs — see _fa_bwd)."""
+    if with_stats:
+        l2_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -194,6 +204,8 @@ def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
     @pl.when(ki == kv_steps - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        if with_stats:
+            l2_ref[0, 0] = m_scr[:] + jnp.log2(l_scr[:])
 
 
 def _flash_kernel_4d_dual(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
@@ -263,7 +275,8 @@ def _flash_kernel_4d_dual(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
 def _flash_fwd_4d(q, k, v, scale: float,
                   block_q: int = DEFAULT_BLOCK_Q,
                   block_k: int = DEFAULT_BLOCK_K,
-                  dual: Optional[bool] = None):
+                  dual: Optional[bool] = None,
+                  return_stats: bool = False):
     """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D), no transposes.
 
     Internally runs on (B, S, N*D) views (free reshapes) with per-head
@@ -272,10 +285,13 @@ def _flash_fwd_4d(q, k, v, scale: float,
 
     dual=True processes two block_k-wide KV chains per grid step (see
     _flash_kernel_4d_dual); None reads the FLASH_DUAL env var (unset =
-    off)."""
+    off). return_stats=True (single-chain only) also returns the per-row
+    base-2 logsumexp as (B, N, Sq) f32 — the backward's residual."""
     import os
     if dual is None:
         dual = os.environ.get("FLASH_DUAL", "0") == "1"
+    if return_stats:
+        dual = False
     b, sq, n, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
@@ -298,6 +314,16 @@ def _flash_fwd_4d(q, k, v, scale: float,
         _flash_kernel_4d_dual if dual else _flash_kernel_4d,
         kv_steps=kv_steps, kv_len=sk, block_k=block_k,
         q_scale=scale * LOG2_E)
+    out_specs = pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n))
+    out_shape = jax.ShapeDtypeStruct((b, q_steps * block_q, n * d), q.dtype)
+    if return_stats:
+        kernel = functools.partial(kernel, with_stats=True)
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, block_q, 1),
+                                  lambda b, n, qi, ki: (b, n, qi, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, n, q_steps * block_q, 1),
+                                          jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(b, n, q_steps, kv_steps),
@@ -306,10 +332,8 @@ def _flash_fwd_4d(q, k, v, scale: float,
             pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
             pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda b, n, qi, ki: (b, qi, n)),
-        out_shape=jax.ShapeDtypeStruct((b, q_steps * block_q, n * d),
-                                       q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -324,14 +348,21 @@ def _flash_fwd_4d(q, k, v, scale: float,
             transcendentals=b * n * sq * sk,
         ),
     )(q, k, v)
+    if return_stats:
+        out, l2 = out
+        out = out[:, :sq] if sq_pad else out
+        l2 = l2[..., :sq, 0] if sq_pad else l2[..., 0]
+        return out.reshape(b, sq, n, d), l2
     out = out[:, :sq] if sq_pad else out
     return out.reshape(b, sq, n, d)
 
 
 def chunked_attention(q, k, v, scale: float, block_k: int = 1024):
-    """Differentiable memory-safe attention: lax.scan over KV blocks with an
-    online softmax in fp32. Same math as the Pallas kernel; used as the
-    custom_vjp backward (and as an interpret-mode check)."""
+    """Memory-safe attention forward: lax.scan over KV blocks with an
+    online softmax in fp32. Same math as the Pallas kernel; the
+    interpret-mode/CPU oracle for the kernel tests. (NOT used as the
+    custom_vjp backward — differentiating this scan stores per-step P;
+    see _fa_bwd for the real blockwise backward.)"""
     bh, sq, d = q.shape
     sk = k.shape[1]
     steps = -(-sk // block_k)
@@ -366,19 +397,279 @@ def chunked_attention(q, k, v, scale: float, block_k: int = 1024):
     return (acc / l).astype(q.dtype)
 
 
+def _fa_bwd(q, k, v, o, l2, g, scale: float, block_k: int = 512):
+    """Flash-attention backward, O(S * block) memory: recompute S/P one KV
+    block at a time from the saved base-2 logsumexp instead of storing the
+    (Sq x Sk) softmax (differentiating the chunked-scan forward stacks a
+    per-step f32 P — 140 GB at the 14B DiT shape, which is why the old
+    jax.vjp(chunked_attention) backward could not even compile there).
+
+      D_i    = sum_d dO_id O_id
+      P_ij   = exp2(c * q_i.k_j - L2_i),  c = scale * log2 e
+      dV_j   = sum_i P_ij dO_i
+      dS_ij  = P_ij * (dO_i . V_j - D_i)        (natural-base jacobian)
+      dQ_i   = scale * sum_j dS_ij K_j ;  dK_j = scale * sum_i dS_ij Q_i
+
+    q/k/v/o/g: (BH, S, D); l2: (BH, Sq). Matmul operands are cast to
+    q.dtype (bf16 in production — standard FA backward practice); the dQ
+    accumulator and all reductions stay fp32.
+
+    Measured on v5e at the 14B self-attn shape (40 heads, 29,640 tokens):
+    block_k 256/512/1024 -> 1329/1122/1024 ms (2048 exceeds HBM with the
+    fp32 S transient). 512 is the default: within 10% of the best while
+    keeping the per-step transients at ~2.4 GB so the streamed 14B train
+    step still fits beside the resident weights."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    steps = pl.cdiv(sk, block_k)
+    pad = steps * block_k - sk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    kb = k.reshape(bh, steps, block_k, d).transpose(1, 0, 2, 3)
+    vb = v.reshape(bh, steps, block_k, d).transpose(1, 0, 2, 3)
+    starts = jnp.arange(steps) * block_k
+    c = scale * LOG2_E
+    di = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)                    # (BH, Sq, 1)
+    l2e = l2.astype(jnp.float32)[..., None]                 # (BH, Sq, 1)
+    gq = g.astype(q.dtype)
+
+    def body(dq_acc, inputs):
+        kc, vc, start = inputs
+        s2 = jnp.einsum("bqd,bkd->bqk", q, kc,
+                        preferred_element_type=jnp.float32) * c
+        if pad:
+            pos = start + jnp.arange(block_k)
+            s2 = jnp.where(pos[None, None, :] < sk, s2, -jnp.inf)
+        p = jnp.exp2(s2 - l2e)                              # (BH, Sq, BK)
+        dv_j = jnp.einsum("bqk,bqd->bkd", p.astype(q.dtype), gq,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bqd,bkd->bqk", gq, vc,
+                        preferred_element_type=jnp.float32)
+        ds = (p * (dp - di)).astype(q.dtype)
+        dq_acc = dq_acc + jnp.einsum(
+            "bqk,bkd->bqd", ds, kc,
+            preferred_element_type=jnp.float32) * scale
+        dk_j = jnp.einsum("bqk,bqd->bkd", ds, q,
+                          preferred_element_type=jnp.float32) * scale
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((bh, sq, d), jnp.float32)
+    dq, (dk, dv) = jax.lax.scan(body, dq0, (kb, vb, starts))
+    dk = dk.transpose(1, 0, 2, 3).reshape(bh, steps * block_k, d)
+    dv = dv.transpose(1, 0, 2, 3).reshape(bh, steps * block_k, d)
+    if pad:
+        dk, dv = dk[:, :sk], dv[:, :sk]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _fa_bwd_kernel_dkv(q_ref, k_ref, v_ref, g_ref, l2_ref, d_ref,
+                       dk_ref, dv_ref, dk_scr, dv_scr,
+                       *, q_steps: int, c_scale: float, scale: float):
+    """dK/dV for one KV block: iterate Q blocks on the innermost grid axis,
+    accumulate in VMEM. Padded Q rows are neutralized by their padded
+    logsumexp (+1e30 -> P = 0), so no mask is needed here; padded KV rows
+    produce garbage that the caller slices off."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]                                     # (BQ, D)
+    g = g_ref[0]                                     # (BQ, D)
+    k = k_ref[0]                                     # (BK, D)
+    v = v_ref[0]
+    l2 = l2_ref[0, 0]                                # (BQ, 1)
+    d = d_ref[0, 0]                                  # (BQ, 1)
+
+    s2 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * c_scale  # (BQ, BK)
+    p = jnp.exp2(s2 - l2)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BK, D)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BQ, BK)
+    ds = (p * (dp - d) * scale).astype(q.dtype)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BK, D)
+
+    @pl.when(qi == q_steps - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _fa_bwd_kernel_dq(q_ref, k_ref, v_ref, g_ref, l2_ref, d_ref,
+                      dq_ref, dq_scr,
+                      *, kv_steps: int, kv_len: int, block_k: int,
+                      c_scale: float, scale: float):
+    """dQ for one Q block: iterate KV blocks innermost. Padded KV columns
+    must be masked to -inf (they would otherwise contribute to dQ)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    g = g_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    l2 = l2_ref[0, 0]
+    d = d_ref[0, 0]
+
+    s2 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * c_scale
+    if kv_len % block_k != 0:
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s2.shape[1]), 1)
+        s2 = s2 + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+    p = jnp.exp2(s2 - l2)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - d) * scale).astype(q.dtype)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _fa_bwd_pallas(q, k, v, o, l2, g, scale: float,
+                   block_q: int = DEFAULT_BLOCK_Q,
+                   block_k: int = DEFAULT_BLOCK_K):
+    """Pallas flash-attention backward, layout-native like the forward.
+
+    q/k/v/o/g: (B, S, N, D); l2: (B, N, Sq) base-2 logsumexp from the
+    forward. Two kernels: dK/dV (grid over KV blocks, Q innermost) and dQ
+    (grid over Q blocks, KV innermost) — same math as _fa_bwd but tiled
+    through VMEM, ~3x faster than the XLA scan at the 14B shape and far
+    smaller programs to compile."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    q_steps = pl.cdiv(sq, block_q)
+    kv_steps = pl.cdiv(sk, block_k)
+    sq_pad = q_steps * block_q - sq
+    sk_pad = kv_steps * block_k - sk
+
+    di = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1)                               # (B, Sq, N)
+    di = di.transpose(0, 2, 1)[..., None]               # (B, N, Sq, 1)
+    l2c = l2[..., None].astype(jnp.float32)             # (B, N, Sq, 1)
+
+    q2 = q.reshape(b, sq, n * d)
+    k2 = k.reshape(b, sk, n * d)
+    v2 = v.reshape(b, sk, n * d)
+    g2 = g.reshape(b, sq, n * d)
+    if sq_pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, sq_pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, 0), (0, sq_pad), (0, 0)))
+        # padded logsumexp -> P = exp2(s - 1e30) = 0: padded rows are inert
+        l2c = jnp.pad(l2c, ((0, 0), (0, 0), (0, sq_pad), (0, 0)),
+                      constant_values=1e30)
+        di = jnp.pad(di, ((0, 0), (0, 0), (0, sq_pad), (0, 0)))
+    if sk_pad:
+        k2 = jnp.pad(k2, ((0, 0), (0, sk_pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, sk_pad), (0, 0)))
+
+    c_scale = scale * LOG2_E
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, n, i, j: (b, j, n))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, n, i, j: (b, i, n))
+    rowspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, n, i, j: (b, n, j, 0))
+    dkv = pl.pallas_call(
+        functools.partial(_fa_bwd_kernel_dkv, q_steps=q_steps,
+                          c_scale=c_scale, scale=scale),
+        grid=(b, n, kv_steps, q_steps),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, n, i, j: (b, i, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, i, j: (b, i, n)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv_steps * block_k, n * d), k.dtype),
+            jax.ShapeDtypeStruct((b, kv_steps * block_k, n * d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n * sq * sk * d,
+            bytes_accessed=2 * (q2.size + k2.size) * q.dtype.itemsize,
+            transcendentals=b * n * sq * sk,
+        ),
+    )(q2, k2, v2, g2, l2c, di)
+    dk2, dv2 = dkv
+
+    dq2 = pl.pallas_call(
+        functools.partial(_fa_bwd_kernel_dq, kv_steps=kv_steps, kv_len=sk,
+                          block_k=block_k, c_scale=c_scale, scale=scale),
+        grid=(b, n, q_steps, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, n, i, j: (b, i, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, i, j: (b, j, n)),
+            pl.BlockSpec((1, block_k, d), lambda b, n, i, j: (b, j, n)),
+            pl.BlockSpec((1, block_q, d), lambda b, n, i, j: (b, i, n)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, n, i, j: (b, n, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, n, i, j: (b, n, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, n, i, j: (b, i, n)),
+        out_shape=jax.ShapeDtypeStruct((b, q_steps * block_q, n * d),
+                                       q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * sq * sk * d,
+            bytes_accessed=2 * (q2.size + k2.size) * q.dtype.itemsize,
+            transcendentals=b * n * sq * sk,
+        ),
+    )(q2, k2, v2, g2, l2c, di)
+
+    dq = (dq2[:, :sq] if sq_pad else dq2).reshape(b, sq, n, d)
+    dk = (dk2[:, :sk] if sk_pad else dk2).reshape(b, sk, n, d)
+    dv = (dv2[:, :sk] if sk_pad else dv2).reshape(b, sk, n, d)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_3d(q, k, v, scale):
     return _flash_fwd_3d(q, k, v, scale)
 
 
 def _flash_3d_fwd(q, k, v, scale):
-    return _flash_fwd_3d(q, k, v, scale), (q, k, v)
+    # n=1 4-D view has the identical memory layout; reuse its stats output
+    out, l2 = _flash_fwd_4d(q[:, :, None], k[:, :, None], v[:, :, None],
+                            scale, return_stats=True)
+    out = out[:, :, 0]
+    return out, (q, k, v, out, l2[:, 0])
 
 
 def _flash_3d_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: chunked_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, l2 = res
+    if jax.default_backend() == "tpu" and q.shape[-1] % 128 == 0:
+        dq, dk, dv = _fa_bwd_pallas(q[:, :, None], k[:, :, None],
+                                    v[:, :, None], o[:, :, None],
+                                    l2[:, None], g[:, :, None], scale)
+        return dq[:, :, 0], dk[:, :, 0], dv[:, :, 0]
+    return _fa_bwd(q, k, v, o, l2, g, scale)
 
 
 _flash_3d.defvjp(_flash_3d_fwd, _flash_3d_bwd)
@@ -390,7 +681,8 @@ def _flash_4d(q, k, v, scale):
 
 
 def _flash_4d_fwd(q, k, v, scale):
-    return _flash_fwd_4d(q, k, v, scale), (q, k, v)
+    out, l2 = _flash_fwd_4d(q, k, v, scale, return_stats=True)
+    return out, (q, k, v, out, l2)
 
 
 def _chunked_4d(q, k, v, scale):
@@ -404,9 +696,22 @@ def _chunked_4d(q, k, v, scale):
 
 
 def _flash_4d_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _chunked_4d(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, l2 = res
+    if jax.default_backend() == "tpu" and q.shape[-1] % 128 == 0:
+        return _fa_bwd_pallas(q, k, v, o, l2, g, scale)
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+
+    def to3(t, s):
+        return t.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+
+    dq, dk, dv = _fa_bwd(to3(q, sq), to3(k, sk), to3(v, sk), to3(o, sq),
+                         l2.reshape(b * n, sq), to3(g, sq), scale)
+
+    def to4(t, s):
+        return t.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+
+    return to4(dq, sq), to4(dk, sk), to4(dv, sk)
 
 
 _flash_4d.defvjp(_flash_4d_fwd, _flash_4d_bwd)
