@@ -8,10 +8,12 @@ Functional re-design of CogDiT (/root/reference/diffsynth/models/cog_dit.py
   RoPE whose spatial grid is fractionally resampled to the training aspect
   (get_resize_crop_region_for_grid). Blocks run under `jax.lax.scan`.
 - VAE: the reference streams chunks through CachedConv3d whose cache is
-  initialized by duplicating the first frame twice; the full-sequence
-  equivalent is a time axis replicate-padded by 2 at the clip start, which
-  we prove equivalent in tests. SpatialNorm3D conditions decoder norms on
-  nearest-resized latents with the odd-first-frame split.
+  initialized by duplicating the first frame twice. The convolutions are
+  exactly chunk-invariant (a fresh cache == replicate-padding time by 2),
+  but the GroupNorm/SpatialNorm statistics are NOT — the reference
+  normalizes per chunk, so encode/decode here default to the same carried-
+  cache chunk schedules (8 video frames / 2 latent frames) and per-chunk
+  norms; `streaming=False` gives the single-pass full-sequence variant.
 """
 from __future__ import annotations
 
@@ -27,6 +29,7 @@ from einops import rearrange
 from ..ops.basic import linear, layer_norm, silu, gelu_tanh, init_linear, init_layer_norm
 from ..ops.attention import attention
 from .flux_dit import rope_apply_interleaved
+from .wan_vae import _CacheIO
 
 
 @dataclass(frozen=True)
@@ -268,18 +271,29 @@ def cog_dit_forward(params, cfg: CogDiTConfig, latents, timestep, prompt_emb,
 # VAE (cog_vae.py) — full-sequence form of the CachedConv3d streaming
 # --------------------------------------------------------------------------
 
-def _cached_conv3d(p, x, first: bool = True):
-    """CachedConv3d (cog_vae.py:169-186) in full-sequence form: the fresh
-    cache duplicates the first frame twice -> replicate-pad time by 2."""
-    x = jnp.concatenate([x[:, :, :1], x[:, :, :1], x], axis=2)
+def _cached_conv3d(p, x, io=None):
+    """CachedConv3d (cog_vae.py:169-186).
+
+    io=None runs the full-sequence form: a fresh cache duplicates the first
+    frame twice == replicate-pad time by 2. With a _CacheIO the 2-frame tail
+    of each chunk's padded input is carried to the next chunk — the exact
+    streaming semantics of the reference (cache = input[:, :, -2:] where
+    input is the concatenated cache+chunk, cog_vae.py:179-186)."""
+    if io is None:
+        xin = jnp.concatenate([x[:, :, :1], x[:, :, :1], x], axis=2)
+    else:
+        cache = io.get(
+            lambda: jnp.concatenate([x[:, :, :1], x[:, :, :1]], axis=2))
+        xin = jnp.concatenate([cache, x], axis=2)
+        io.put(xin[:, :, -2:])
     y = jax.lax.conv_general_dilated(
-        x, p["weight"].astype(x.dtype), (1, 1, 1),
+        xin, p["weight"].astype(xin.dtype), (1, 1, 1),
         ((0, 0), (1, 1), (1, 1)),
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
         preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)[None, :, None, None, None]
-    return y.astype(x.dtype)
+    return y.astype(xin.dtype)
 
 
 def _gn(p, x, groups, eps=1e-6):
@@ -325,23 +339,23 @@ def _conv1x1_3d(p, x):
     return (y + p["bias"].astype(jnp.float32)[None, :, None, None, None]).astype(x.dtype)
 
 
-def _resnet3d(p, x, zq, groups=32):
+def _resnet3d(p, x, zq, groups=32, io=None):
     """Resnet3DBlock (cog_vae.py:128-166)."""
     res = x
     if "norm_layer" in p["norm1"]:
         h = _spatial_norm(p["norm1"], x, zq, groups)
     else:
         h = _gn(p["norm1"], x, groups)
-    h = _cached_conv3d(p["conv1"], jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype))
+    h = _cached_conv3d(p["conv1"], jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype), io)
     if "norm_layer" in p["norm2"]:
         h = _spatial_norm(p["norm2"], h, zq, groups)
     else:
         h = _gn(p["norm2"], h, groups)
-    h = _cached_conv3d(p["conv2"], jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype))
+    h = _cached_conv3d(p["conv2"], jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype), io)
     if "conv_shortcut" in p:
         w = p["conv_shortcut"]["weight"]
         if w.ndim == 5 and w.shape[2] == 3:
-            res = _cached_conv3d(p["conv_shortcut"], res)
+            res = _cached_conv3d(p["conv_shortcut"], res, io)
         else:
             res = _conv1x1_3d(p["conv_shortcut"], res)
     return h + res
@@ -404,34 +418,103 @@ COG_DECODER_PLAN = (["res"] * 6 + [("up", True)] + ["res"] * 4
                     + ["res"] * 4)
 
 
-def cog_vae_encode(params, video, scaling: float = 0.7):
-    """CogVAEEncoder.forward (cog_vae.py:306-330). video (B, 3, T, H, W)."""
-    h = _cached_conv3d(params["conv_in"], video)
+def _encode_core(params, video, io=None):
+    """CogVAEEncoder.forward (cog_vae.py:306-330) over one chunk (or the
+    full sequence when io is None)."""
+    h = _cached_conv3d(params["conv_in"], video, io)
     for i, op in enumerate(COG_ENCODER_PLAN):
         p = params["blocks"][str(i)]
         if op == "res":
-            h = _resnet3d(p, h, video)
+            h = _resnet3d(p, h, video, io=io)
         else:
             h = _downsample3d(p, h, op[1])
     h = _gn(params["norm_out"], h, 32)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
-    h = _cached_conv3d(params["conv_out"], h)[:, :16]
-    return h * scaling
+    return _cached_conv3d(params["conv_out"], h, io)[:, :16]
 
 
-def cog_vae_decode(params, latents, scaling: float = 0.7):
-    """CogVAEDecoder.forward (cog_vae.py:223-235)."""
-    z = latents / scaling
-    h = _cached_conv3d(params["conv_in"], z)
+def _decode_core(params, z, io=None):
+    """CogVAEDecoder.forward (cog_vae.py:223-235) over one chunk."""
+    h = _cached_conv3d(params["conv_in"], z, io)
     for i, op in enumerate(COG_DECODER_PLAN):
         p = params["blocks"][str(i)]
         if op == "res":
-            h = _resnet3d(p, h, z)
+            h = _resnet3d(p, h, z, io=io)
         else:
             h = _upsample3d(p, h, op[1])
     h = _spatial_norm(params["norm_out"], h, z)
     h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
-    return _cached_conv3d(params["conv_out"], h)
+    return _cached_conv3d(params["conv_out"], h, io)
+
+
+def _encode_chunks(T: int):
+    """encode_small_video's 8-frame schedule (cog_vae.py:339-354): odd T
+    puts the extra frame in chunk 0. The reference silently DROPS trailing
+    frames when T % 8 is not 0/1; we refuse instead (see cog_vae_encode)."""
+    odd = T % 2
+    return [(0, 9) if odd and i == 0 else (8 * i + odd, 8 * i + 8 + odd)
+            for i in range(T // 8)]
+
+
+def _decode_chunks(T: int):
+    """decode_small_video's 2-latent-frame schedule (cog_vae.py:254-270)."""
+    odd = T % 2
+    return [(0, 3) if odd and i == 0 else (2 * i + odd, 2 * i + 2 + odd)
+            for i in range(T // 2)]
+
+
+def cog_vae_encode(params, video, scaling: float = 0.7,
+                   streaming: Optional[bool] = None):
+    """CogVAE encode. video (B, 3, T, H, W).
+
+    streaming=True chunk-streams 8 frames at a time with carried conv
+    caches — numerically the reference's encode_small_video (GroupNorm
+    statistics are per-chunk there, NOT a full-sequence approximation).
+    Default: stream whenever the schedule covers T exactly (T % 8 in
+    {0, 1}); otherwise run the full sequence (the reference would silently
+    drop the trailing frames — we do not reproduce that)."""
+    T = video.shape[2]
+    covered = T % 8 in (0, 1) and T >= 8
+    if streaming is None:
+        streaming = covered
+    if not streaming:
+        return _encode_core(params, video) * scaling
+    if not covered:
+        raise ValueError(
+            f"streaming encode needs T % 8 in (0, 1) to cover all frames, "
+            f"got T={T} (the reference drops the tail here)")
+    caches = None
+    outs = []
+    for tl, tr in _encode_chunks(T):
+        io = _CacheIO(caches)
+        outs.append(_encode_core(params, video[:, :, tl:tr], io))
+        caches = io.out
+    return jnp.concatenate(outs, axis=2) * scaling
+
+
+def cog_vae_decode(params, latents, scaling: float = 0.7,
+                   streaming: Optional[bool] = None):
+    """CogVAE decode. latents (B, 16, T, H, W).
+
+    Default streams 2 latent frames at a time with carried conv caches —
+    bit-faithful to the reference's decode_small_video, whose GroupNorm /
+    SpatialNorm statistics are per-chunk (a full-sequence decode diverges
+    on real data: measured corr 0.87 on a time-ramped input).
+    streaming=False runs the full sequence in one pass (single-chunk
+    inputs are identical either way)."""
+    z = latents / scaling
+    T = z.shape[2]
+    if streaming is None:
+        streaming = T > 2
+    if not streaming or T <= 2:
+        return _decode_core(params, z)
+    caches = None
+    outs = []
+    for tl, tr in _decode_chunks(T):
+        io = _CacheIO(caches)
+        outs.append(_decode_core(params, z[:, :, tl:tr], io))
+        caches = io.out
+    return jnp.concatenate(outs, axis=2)
 
 
 def convert_cog_vae(sd, dtype=jnp.float32):
