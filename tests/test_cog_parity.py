@@ -166,3 +166,46 @@ def test_cog_vae_parity_and_streaming_equivalence():
     got_z17 = np.asarray(C.cog_vae_encode(p_enc, jnp.asarray(video17)),
                          np.float32)
     np.testing.assert_allclose(got_z17, want_z17, rtol=2e-3, atol=2e-3)
+
+
+def test_encode_chunk_schedules():
+    from video_styler_tpu.models.cog_video import _encode_chunks, _decode_chunks
+    assert _encode_chunks(8) == [(0, 8)]
+    assert _encode_chunks(9) == [(0, 9)]
+    assert _encode_chunks(17) == [(0, 9), (9, 17)]
+    assert _encode_chunks(12) == [(0, 8), (8, 12)]   # partial tail, even
+    assert _encode_chunks(13) == [(0, 9), (9, 13)]
+    assert _encode_chunks(5) == [(0, 5)]
+    assert _encode_chunks(2) == [(0, 2)]
+    # every schedule covers [0, T) contiguously with even non-first chunks
+    for T in range(1, 40):
+        ch = _encode_chunks(T)
+        assert ch[0][0] == 0 and ch[-1][1] == T
+        for (a, b), (c, d) in zip(ch, ch[1:]):
+            assert b == c and (d - c) % 2 == 0
+    for T in range(1, 20):
+        ch = _decode_chunks(T) or [(0, T)]
+        assert ch[0][0] == 0 and ch[-1][1] == T
+
+
+@pytest.mark.slow
+def test_encode_partial_tail_matches_reference_prefix():
+    """T=12: the reference drops frames 8-11; our partial-tail streaming
+    must be bit-faithful on the latents the reference does produce."""
+    import torch
+    ref = load_ref("models.cog_vae")
+    torch.manual_seed(0)
+    enc = ref.CogVAEEncoder().eval()
+    p_enc = C.convert_cog_vae(enc.state_dict())
+    rng = np.random.default_rng(3)
+    video = rng.standard_normal((1, 3, 12, 32, 32)).astype(np.float32)
+    video *= np.linspace(0.3, 2.0, 12,
+                         dtype=np.float32)[None, None, :, None, None]
+    with torch.no_grad():
+        want = enc.encode_small_video(torch.from_numpy(video)).numpy()
+        for m in enc.modules():
+            if isinstance(m, ref.CachedConv3d):
+                m.clear_cache()
+    got = np.asarray(C.cog_vae_encode(p_enc, jnp.asarray(video)), np.float32)
+    assert got.shape[2] == 3 and want.shape[2] == 2  # ref dropped the tail
+    np.testing.assert_allclose(got[:, :, :2], want, rtol=2e-3, atol=2e-3)

@@ -281,6 +281,17 @@ def measure(args):
     if args.train_step:
         from video_styler_tpu.trainers.lora_train import init_lora
         from video_styler_tpu.trainers.streaming_train import StreamingTrainer
+        # training needs HBM for the per-block vjp residuals (weights +
+        # activations + flash-bwd workspace, ~5 GB): release the resident
+        # inference stack and re-stream every block from host instead —
+        # the backward's whole design point (fwd+bwd each re-stream
+        # ~180 MB/block, fully overlapped with ~1 s/block of compute)
+        del streamer, v, step_lat
+        gc.collect()
+        streamer = WanBlockStreamer(
+            dit_host, cfg, vace_host, vcfg, mode=qmode,
+            resident_blocks=0, prefetch_depth=args.prefetch,
+            num_streams=args.streams)
         lat1, ctx1, vctx1 = lat[:1], ctx[:1], vctx[:1]
         target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
                                    jnp.bfloat16)
@@ -317,7 +328,10 @@ def measure(args):
         save()
         del trainer, vace_lora, g
 
-    del streamer, v, step_lat
+    try:
+        del streamer, v, step_lat
+    except NameError:
+        del streamer
     gc.collect()
 
     # ---------------- stage 4: bf16 streamed pass ------------------------

@@ -450,10 +450,20 @@ def _decode_core(params, z, io=None):
 def _encode_chunks(T: int):
     """encode_small_video's 8-frame schedule (cog_vae.py:339-354): odd T
     puts the extra frame in chunk 0. The reference silently DROPS trailing
-    frames when T % 8 is not 0/1; we refuse instead (see cog_vae_encode)."""
+    frames when T % 8 is not in {0, 1}; we instead emit one final PARTIAL
+    chunk (always an even frame count, so the temporal mean-pools divide) —
+    identical to the reference on every frame it covers, per-chunk norm
+    semantics throughout."""
     odd = T % 2
-    return [(0, 9) if odd and i == 0 else (8 * i + odd, 8 * i + 8 + odd)
-            for i in range(T // 8)]
+    chunks = [(0, min(9, T)) if odd and i == 0
+              else (8 * i + odd, 8 * i + 8 + odd)
+              for i in range(max(T // 8, 1 if odd else 0))]
+    if not chunks:
+        return [(0, T)]
+    last = chunks[-1][1]
+    if last < T:
+        chunks.append((last, T))
+    return chunks
 
 
 def _decode_chunks(T: int):
@@ -467,25 +477,24 @@ def cog_vae_encode(params, video, scaling: float = 0.7,
                    streaming: Optional[bool] = None):
     """CogVAE encode. video (B, 3, T, H, W).
 
-    streaming=True chunk-streams 8 frames at a time with carried conv
-    caches — numerically the reference's encode_small_video (GroupNorm
-    statistics are per-chunk there, NOT a full-sequence approximation).
-    Default: stream whenever the schedule covers T exactly (T % 8 in
-    {0, 1}); otherwise run the full sequence (the reference would silently
-    drop the trailing frames — we do not reproduce that)."""
+    Default (and streaming=True): chunk-stream 8 frames at a time with
+    carried conv caches — numerically the reference's encode_small_video
+    (GroupNorm statistics are per-chunk there, NOT a full-sequence
+    approximation). Where T % 8 is not in {0, 1} the reference silently
+    drops the tail; we emit one final partial chunk instead — identical
+    to the reference on every frame it covers, consistent per-chunk norm
+    semantics for the rest, and symmetric with the streaming decode.
+    streaming=False runs the full sequence in one pass (identical when
+    the schedule is a single chunk, i.e. T <= 8 even or T <= 9 odd)."""
     T = video.shape[2]
-    covered = T % 8 in (0, 1) and T >= 8
     if streaming is None:
-        streaming = covered
-    if not streaming:
+        streaming = True
+    chunks = _encode_chunks(T)
+    if not streaming or len(chunks) == 1:
         return _encode_core(params, video) * scaling
-    if not covered:
-        raise ValueError(
-            f"streaming encode needs T % 8 in (0, 1) to cover all frames, "
-            f"got T={T} (the reference drops the tail here)")
     caches = None
     outs = []
-    for tl, tr in _encode_chunks(T):
+    for tl, tr in chunks:
         io = _CacheIO(caches)
         outs.append(_encode_core(params, video[:, :, tl:tr], io))
         caches = io.out
@@ -500,8 +509,8 @@ def cog_vae_decode(params, latents, scaling: float = 0.7,
     bit-faithful to the reference's decode_small_video, whose GroupNorm /
     SpatialNorm statistics are per-chunk (a full-sequence decode diverges
     on real data: measured corr 0.87 on a time-ramped input).
-    streaming=False runs the full sequence in one pass (single-chunk
-    inputs are identical either way)."""
+    streaming=False runs the full sequence in one pass — identical only
+    when the schedule is a single chunk (T <= 2 latents)."""
     z = latents / scaling
     T = z.shape[2]
     if streaming is None:

@@ -685,16 +685,6 @@ def _flash_4d_fwd(q, k, v, scale):
     return out, (q, k, v, out, l2)
 
 
-def _chunked_4d(q, k, v, scale):
-    b, sq, n, d = q.shape
-    sk = k.shape[1]
-    q3 = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
-    k3 = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    v3 = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    out = chunked_attention(q3, k3, v3, scale)
-    return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
-
-
 def _flash_4d_bwd(scale, res, g):
     q, k, v, o, l2 = res
     if jax.default_backend() == "tpu" and q.shape[-1] % 128 == 0:
@@ -723,8 +713,9 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
     Layout-native: the Pallas grid iterates the head axis directly, so the
     (B, S, N, D) activations are never transposed to (B*N, S, D) — that
     transpose cost four ~300 MB HBM copies per self-attention call at the
-    14B DiT shape. The backward differentiates the chunked-scan reference
-    (memory-safe, numerically identical)."""
+    14B DiT shape. The backward is the standard blockwise flash backward
+    (dK/dV and dQ Pallas kernels recomputing S/P from the forward's saved
+    logsumexp — O(S * block) memory; XLA scan fallback off-TPU)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash_4d(q, k, v, scale)

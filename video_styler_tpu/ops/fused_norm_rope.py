@@ -210,15 +210,16 @@ def fused_rmsnorm(x, w, eps: float = 1e-6,
     Q path has no RoPE but still pays the norm's HBM round-trips as XLA
     ops). Identical semantics to ops.basic.rms_norm."""
     if use_pallas is None:
+        # dm cap keeps the (block_s, dm) VMEM blocks inside Mosaic's budget
+        # (a failure there surfaces at XLA compile time, where no python
+        # fallback can catch it — so the gate must be conservative)
         use_pallas = (jax.default_backend() == "tpu"
                       and x.ndim == 3 and x.shape[-1] % 128 == 0
+                      and x.shape[-1] <= 5120
                       and x.shape[1] >= 1024)
     if not use_pallas:
         return rms_norm({"scale": w}, x, eps)
-    try:
-        return _rms_pallas(x, w, eps)
-    except Exception:
-        return rms_norm({"scale": w}, x, eps)
+    return _rms_pallas(x, w, eps)
 
 
 def fused_rmsnorm_rope(q_proj, k_proj, wq, wk, cos, sin,
@@ -232,14 +233,14 @@ def fused_rmsnorm_rope(q_proj, k_proj, wq, wk, cos, sin,
     Dispatches to the Pallas kernel on TPU; elsewhere runs the identical
     XLA composition (also the custom_vjp backward)."""
     if use_pallas is None:
-        # lane-native head dim only (all real Wan configs are 128); Mosaic
-        # lowering errors surface at compile time, past the try/except below
+        # lane-native head dim only (all real Wan configs are 128), model
+        # dim capped so the (block_s, dm) VMEM blocks fit Mosaic's budget.
+        # Mosaic/VMEM failures surface at XLA compile time — under jit no
+        # python-level fallback can catch them, so the gate is the guard.
         use_pallas = (jax.default_backend() == "tpu"
                       and (2 * cos.shape[1]) % 128 == 0
-                      and q_proj.shape[-1] % (2 * cos.shape[1]) == 0)
+                      and q_proj.shape[-1] % (2 * cos.shape[1]) == 0
+                      and q_proj.shape[-1] <= 5120)
     if not use_pallas:
         return _reference(q_proj, k_proj, wq, wk, cos, sin, eps)
-    try:
-        return _fused(q_proj, k_proj, wq, wk, cos, sin, eps)
-    except Exception:
-        return _reference(q_proj, k_proj, wq, wk, cos, sin, eps)
+    return _fused(q_proj, k_proj, wq, wk, cos, sin, eps)
