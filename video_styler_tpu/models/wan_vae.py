@@ -75,17 +75,36 @@ WAN_VAE_TINY = WanVAEConfig(dim=16, z_dim=4, dim_mult=(1, 2, 4, 4),
 
 # --------------------------------------------------------------------------
 # Primitive layers (params follow torch naming: {"weight", "bias", "gamma"})
+#
+# Layout: all internal activations are CHANNELS-LAST (B, T, H, W, C). On TPU
+# the MXU-friendly conv layout puts channels on the minor axis; the NCDHW
+# logical order the reference uses costs 20-35% on the 96/192-channel conv
+# scales (measured on v5e, tools/dissect_vae.py: scale3 res conv 66.3 ->
+# 52.8 ms, scale2 52.3 -> 39.4 ms). Public encode/decode keep the reference
+# (B, C, T, H, W) contract and transpose at the boundary. Weights stay in
+# torch OIDHW order (conv dimension_numbers reinterpret them; checkpoint
+# conversion remains a pure re-nesting).
 # --------------------------------------------------------------------------
 
+def to_cl(x):
+    """(B, C, T, H, W) -> (B, T, H, W, C)."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def from_cl(x):
+    """(B, T, H, W, C) -> (B, C, T, H, W)."""
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
 def conv3d(p, x, stride=(1, 1, 1), padding=((0, 0), (0, 0), (0, 0))):
-    """lax conv with torch OIDHW weights; fp32 accumulation."""
+    """lax conv on channels-last x with torch OIDHW weights; fp32 accum."""
     w = p["weight"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
         preferred_element_type=jnp.float32)
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)[None, :, None, None, None]
+        y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -99,29 +118,71 @@ def causal_conv3d(p, x, stride=(1, 1, 1)):
 
 
 def conv2d_on_frames(p, x, stride=(1, 1), padding=((0, 0), (0, 0))):
-    """Conv2d applied per-frame on (B, C, T, H, W) as a (1, kh, kw) conv3d."""
+    """Conv2d applied per-frame on (B, T, H, W, C) as a (1, kh, kw) conv3d."""
     w = p["weight"][:, :, None]  # (O, I, 1, kh, kw)
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1,) + tuple(stride),
         padding=((0, 0),) + tuple(padding),
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
         preferred_element_type=jnp.float32)
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)[None, :, None, None, None]
+        y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def upsample_conv_2x(p, x):
+    """nearest-2x spatial upsample + 3x3 conv, phase-decomposed.
+
+    Mathematically identical to `conv2d(upsample_nearest_2x(x))` (the
+    Resample upsample path, wan_video_vae.py:82-117): each output pixel's
+    3x3 window covers only a 2x2 block of distinct low-res pixels, so the
+    conv folds into FOUR 2x2 convs at LOW resolution (4/9 of the FLOPs) and
+    the 4x-duplicated intermediate is never materialized. Phase kernels:
+      out[2y+py, 2x+px]: py=0 taps (w0)·x[y-1] + (w1+w2)·x[y]
+                         py=1 taps (w0+w1)·x[y] + (w2)·x[y+1]   (same in x)
+    computed as one conv with 4*O output channels then interleaved."""
+    w = p["weight"].astype(jnp.float32)  # (O, I, 3, 3)
+    O, I = w.shape[:2]
+    rows = [jnp.stack([w[:, :, 0], w[:, :, 1] + w[:, :, 2]], axis=2),
+            jnp.stack([w[:, :, 0] + w[:, :, 1], w[:, :, 2]], axis=2)]
+    phases = []
+    for py in (0, 1):
+        wy = rows[py]  # (O, I, 2, 3) — rows collapsed, cols raw
+        for px in (0, 1):
+            if px == 0:
+                wp = jnp.stack([wy[..., 0], wy[..., 1] + wy[..., 2]], axis=3)
+            else:
+                wp = jnp.stack([wy[..., 0] + wy[..., 1], wy[..., 2]], axis=3)
+            phases.append(wp)  # (O, I, 2, 2)
+    wp = jnp.concatenate(phases, axis=0).astype(x.dtype)  # (4O, I, 2, 2)
+    b, t, h, wd, c = x.shape
+    y = jax.lax.conv_general_dilated(
+        x, wp[:, :, None], window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
+        preferred_element_type=jnp.float32)  # (B, T, h+1, w+1, 4O)
+    # phase (py, px) reads conv output j = y + py (window (j-1, j))
+    y00 = y[:, :, :h, :wd, 0 * O:1 * O]
+    y01 = y[:, :, :h, 1:, 1 * O:2 * O]
+    y10 = y[:, :, 1:, :wd, 2 * O:3 * O]
+    y11 = y[:, :, 1:, 1:, 3 * O:4 * O]
+    r0 = jnp.stack([y00, y01], axis=4)          # (B,T,h,w,2,O) px
+    r1 = jnp.stack([y10, y11], axis=4)
+    out = jnp.stack([r0, r1], axis=3)            # (B,T,h,2,w,2,O) py
+    out = out.reshape(b, t, 2 * h, 2 * wd, O)
+    if "bias" in p:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def rms_norm_spatial(p, x, eps: float = 1e-12):
     """RMS_norm (wan_video_vae.py:55-70): F.normalize along the channel dim
-    times sqrt(dim) * gamma. gamma broadcast shape comes from the checkpoint."""
+    times sqrt(dim) * gamma. Channels-last: the channel is the LAST axis."""
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=1, keepdims=True))
-    scale = x.shape[1] ** 0.5
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
+    scale = x.shape[-1] ** 0.5
     y = (xf / jnp.maximum(norm, eps)) * scale
-    gamma = p["gamma"].astype(jnp.float32)
-    while gamma.ndim < y.ndim - 1:
-        gamma = gamma[..., None]
-    y = y * gamma[None]
+    y = y * p["gamma"].astype(jnp.float32).reshape(-1)
     return y.astype(x.dtype)
 
 
@@ -134,11 +195,11 @@ def _shard_w(x):
 
     The reference keeps the VAE single-GPU and tiles spatially
     (wan_video_vae.py:1103-1203); under a mesh the natural TPU form is
-    GSPMD width-sharding — constrain (B, C, T, H, W) on W and XLA inserts
+    GSPMD width-sharding — constrain (B, T, H, W, C) on W and XLA inserts
     conv halo exchanges over ICI. No-op without an active sharding context
     or when W doesn't divide (parallel/context.py warns once)."""
     from ..parallel.context import constrain
-    return constrain(x, "dp", None, None, None, "sp")
+    return constrain(x, "dp", None, None, "sp", None)
 
 
 def residual_block(p, x):
@@ -159,50 +220,51 @@ def residual_block(p, x):
 
 def attention_block(p, x):
     """Single-head per-frame spatial attention (wan_video_vae.py:304-342)."""
-    b, c, t, h, w = x.shape
+    b, t, h, w, c = x.shape
     identity = x
     y = rms_norm_spatial(p["norm"], x)
-    qkv = conv2d_on_frames(p["to_qkv"], y)                       # (B, 3C, T, H, W)
-    qkv = qkv.transpose(0, 2, 1, 3, 4).reshape(b * t, 3 * c, h * w)
-    q, k, v = jnp.split(qkv.transpose(0, 2, 1), 3, axis=-1)      # (BT, HW, C)
+    qkv = conv2d_on_frames(p["to_qkv"], y)                       # (B,T,H,W,3C)
+    q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
     scale = 1.0 / np.sqrt(c)
     logits = jnp.einsum("bqc,bkc->bqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bqk,bkc->bqc", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1).reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
-    out = conv2d_on_frames(p["proj"], out)
+    out = conv2d_on_frames(p["proj"], out.reshape(b, t, h, w, c))
     return out + identity
 
 
 def upsample_nearest_2x(x):
     """nearest-exact 2x spatial upsample == pixel duplication for factor 2."""
-    x = jnp.repeat(x, 2, axis=-2)
-    return jnp.repeat(x, 2, axis=-1)
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
+
+
+def _interleave_time2(y):
+    """(B, T, H, W, 2C) time-conv output -> (B, 2T, H, W, C): channel pair
+    (major half, minor half) becomes (even, odd) frames."""
+    b, t, h, w, c2 = y.shape
+    c = c2 // 2
+    y = y.reshape(b, t, h, w, 2, c)
+    y = y.transpose(0, 1, 4, 2, 3, 5)
+    return y.reshape(b, t * 2, h, w, c)
 
 
 def resample(p, x, mode: str):
     """Resample (wan_video_vae.py:82-174) in full-sequence form."""
     if mode == "upsample3d":
         # temporal 2x: frame 0 passthrough, frames 1.. causal conv -> interleave
-        head_f = x[:, :, :1]
-        rest = x[:, :, 1:]
-        if rest.shape[2] > 0:
-            y = causal_conv3d(p["time_conv"], rest)              # (B, 2C, T-1, H, W)
-            b, c2, tm1, h, w = y.shape
-            c = c2 // 2
-            y = y.reshape(b, 2, c, tm1, h, w)
-            y = jnp.stack([y[:, 0], y[:, 1]], axis=3)            # (B, C, T-1, 2, H, W)
-            y = y.reshape(b, c, tm1 * 2, h, w)
-            x = jnp.concatenate([head_f, y], axis=2)
+        head_f = x[:, :1]
+        rest = x[:, 1:]
+        if rest.shape[1] > 0:
+            y = causal_conv3d(p["time_conv"], rest)              # (B, T-1, H, W, 2C)
+            x = jnp.concatenate([head_f, _interleave_time2(y)], axis=1)
         else:
             x = head_f
-        x = upsample_nearest_2x(x)
-        return conv2d_on_frames(p["resample"]["1"], x, padding=((1, 1), (1, 1)))
+        return upsample_conv_2x(p["resample"]["1"], x)
     if mode == "upsample2d":
-        x = upsample_nearest_2x(x)
-        return conv2d_on_frames(p["resample"]["1"], x, padding=((1, 1), (1, 1)))
+        return upsample_conv_2x(p["resample"]["1"], x)
     if mode == "downsample2d":
         # ZeroPad2d((0,1,0,1)) then 3x3 stride-2
         return conv2d_on_frames(p["resample"]["1"], x, stride=(2, 2),
@@ -212,11 +274,11 @@ def resample(p, x, mode: str):
                              padding=((0, 1), (0, 1)))
         # temporal 2x down: frame 0 passthrough, stride-2 kernel-3 conv from
         # frame 0 (windows (0,1,2), (2,3,4), ...)
-        head_f = x[:, :, :1]
-        if x.shape[2] > 2:
+        head_f = x[:, :1]
+        if x.shape[1] > 2:
             y = conv3d(p["time_conv"], x, stride=(2, 1, 1),
                        padding=((0, 0), (0, 0), (0, 0)))
-            return jnp.concatenate([head_f, y], axis=2)
+            return jnp.concatenate([head_f, y], axis=1)
         return head_f
     raise ValueError(mode)
 
@@ -279,22 +341,23 @@ def vae_encode(params, video, cfg: WanVAEConfig = WAN21_VAE):
     """video (B, 3, T, H, W) in [-1, 1] -> normalized latents
     (B, z, 1+(T-1)/4, H/8, W/8). Matches VideoVAE_.encode
     (wan_video_vae.py:984-1009) including the mean/std scaling."""
-    out = encoder3d(params["encoder"], video, cfg)
+    out = encoder3d(params["encoder"], to_cl(video), cfg)
     moments = causal_conv3d(params["conv1"], out)
-    mu = moments[:, :cfg.z_dim]
-    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
-    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)[None, :, None, None, None]
-    return (mu - mean) * inv_std
+    mu = moments[..., :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)
+    return from_cl((mu - mean) * inv_std)
 
 
 def vae_decode(params, z, cfg: WanVAEConfig = WAN21_VAE, clamp: bool = True):
     """normalized latents -> video (B, 3, T, H, W). Matches VideoVAE_.decode
     (wan_video_vae.py:1011-1034)."""
-    mean = jnp.asarray(cfg.latent_mean, z.dtype)[None, :, None, None, None]
-    std = jnp.asarray(cfg.latent_std, z.dtype)[None, :, None, None, None]
+    z = to_cl(z)
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)
+    std = jnp.asarray(cfg.latent_std, z.dtype)
     z = z * std + mean
     x = causal_conv3d(params["conv2"], z)
-    video = decoder3d(params["decoder"], x, cfg)
+    video = from_cl(decoder3d(params["decoder"], x, cfg))
     if clamp:
         video = jnp.clip(video, -1.0, 1.0)
     return video
@@ -339,10 +402,10 @@ def _causal_conv3d_io(p, x, io: _CacheIO, stride=(1, 1, 1)):
         return conv3d(p, x, stride=stride,
                       padding=((0, 0), (ph, ph), (pw, pw)))
     cache = io.get(lambda: jnp.zeros(
-        x.shape[:2] + (2 * pt,) + x.shape[3:], x.dtype))
-    xin = jnp.concatenate([cache, x], axis=2)
+        (x.shape[0], 2 * pt) + x.shape[2:], x.dtype))
+    xin = jnp.concatenate([cache, x], axis=1)
     y = conv3d(p, xin, stride=stride, padding=((0, 0), (ph, ph), (pw, pw)))
-    io.put(xin[:, :, -2 * pt:])
+    io.put(xin[:, -2 * pt:])
     return y
 
 
@@ -364,45 +427,34 @@ def _residual_block_io(p, x, io: _CacheIO):
 def _resample_up_io(p, x, mode: str, io: _CacheIO, first: bool):
     if mode == "upsample3d":
         if first:
-            head_f = x[:, :, :1]
-            rest = x[:, :, 1:]
-            if rest.shape[2] > 0:
+            head_f = x[:, :1]
+            rest = x[:, 1:]
+            if rest.shape[1] > 0:
                 y = _causal_conv3d_io(p["time_conv"], rest, io)
-                b, c2, tt, h, w = y.shape
-                c = c2 // 2
-                y = y.reshape(b, 2, c, tt, h, w)
-                y = jnp.stack([y[:, 0], y[:, 1]], axis=3)
-                y = y.reshape(b, c, tt * 2, h, w)
-                xt = jnp.concatenate([head_f, y], axis=2)
+                xt = jnp.concatenate([head_f, _interleave_time2(y)], axis=1)
             else:
                 # no frames have entered the time_conv stream yet: its
                 # cache is still the zero left-pad
                 io.put(io.get(lambda: jnp.zeros(
-                    x.shape[:2] + (2,) + x.shape[3:], x.dtype)))
+                    (x.shape[0], 2) + x.shape[2:], x.dtype)))
                 xt = head_f
         else:
             y = _causal_conv3d_io(p["time_conv"], x, io)
-            b, c2, tt, h, w = y.shape
-            c = c2 // 2
-            y = y.reshape(b, 2, c, tt, h, w)
-            y = jnp.stack([y[:, 0], y[:, 1]], axis=3)
-            xt = y.reshape(b, c, tt * 2, h, w)
-        xt = upsample_nearest_2x(xt)
-        return conv2d_on_frames(p["resample"]["1"], xt,
-                                padding=((1, 1), (1, 1)))
+            xt = _interleave_time2(y)
+        return upsample_conv_2x(p["resample"]["1"], xt)
     if mode == "upsample2d":
-        xt = upsample_nearest_2x(x)
-        return conv2d_on_frames(p["resample"]["1"], xt,
-                                padding=((1, 1), (1, 1)))
+        return upsample_conv_2x(p["resample"]["1"], x)
     raise ValueError(f"streaming decode only upsamples, got {mode}")
 
 
 def _decode_stream_step(params, z_chunk, caches, cfg: WanVAEConfig,
                         first: bool):
-    """One latent-frame chunk -> (video chunk, new caches)."""
-    mean = jnp.asarray(cfg.latent_mean, z_chunk.dtype)[None, :, None, None, None]
-    std = jnp.asarray(cfg.latent_std, z_chunk.dtype)[None, :, None, None, None]
-    z = z_chunk * std + mean
+    """One latent-frame chunk (B, C, t, H, W) -> (video chunk, new caches).
+    Internals are channels-last; caches live in channels-last between steps."""
+    z = to_cl(z_chunk)
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)
+    std = jnp.asarray(cfg.latent_std, z.dtype)
+    z = z * std + mean
     io = _CacheIO(caches)
     x = _causal_conv3d_io(params["conv2"], z, io)
     p = params["decoder"]
@@ -419,7 +471,7 @@ def _decode_stream_step(params, z_chunk, caches, cfg: WanVAEConfig,
     x = rms_norm_spatial(p["head"]["0"], x)
     x = _silu(x)
     x = _causal_conv3d_io(p["head"]["2"], x, io)
-    return x, io.out
+    return from_cl(x), io.out
 
 
 def _resample_down_io(p, x, mode: str, io: _CacheIO, first: bool):
@@ -432,12 +484,12 @@ def _resample_down_io(p, x, mode: str, io: _CacheIO, first: bool):
                          padding=((0, 1), (0, 1)))
     if first:
         # global frame 0 passes through and seeds the stride-2 window cache
-        io.put(x[:, :, -1:])
+        io.put(x[:, -1:])
         return x
     cache = io.get(lambda: None)
-    xin = jnp.concatenate([cache, x], axis=2)
+    xin = jnp.concatenate([cache, x], axis=1)
     y = conv3d(p["time_conv"], xin, stride=(2, 1, 1))
-    io.put(xin[:, :, -1:])
+    io.put(xin[:, -1:])
     return y
 
 
@@ -447,7 +499,7 @@ def _encode_stream_step(params, chunk, caches, cfg: WanVAEConfig,
     1+4k schedule, wan_video_vae.py:984-1009) -> (latent chunk, caches)."""
     io = _CacheIO(caches)
     p = params["encoder"]
-    x = _causal_conv3d_io(p["conv1"], chunk, io)
+    x = _causal_conv3d_io(p["conv1"], to_cl(chunk), io)
     for idx, (kind, mode) in enumerate(_encoder_plan(cfg)):
         mp = p["downsamples"][str(idx)]
         if kind == "res":
@@ -461,11 +513,10 @@ def _encode_stream_step(params, chunk, caches, cfg: WanVAEConfig,
     x = _silu(x)
     x = _causal_conv3d_io(p["head"]["2"], x, io)
     moments = _causal_conv3d_io(params["conv1"], x, io)
-    mu = moments[:, :cfg.z_dim]
-    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
-    inv_std = 1.0 / jnp.asarray(cfg.latent_std,
-                                mu.dtype)[None, :, None, None, None]
-    return (mu - mean) * inv_std, io.out
+    mu = moments[..., :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)
+    return from_cl((mu - mean) * inv_std), io.out
 
 
 _STREAM_JIT_CACHE = {}
@@ -702,48 +753,50 @@ WAN22_VAE = WanVAE38Config()
 
 
 def pixel_patchify(x, p: int = 2):
-    """(B, C, F, H, W) -> (B, C*p*p, F, H/p, W/p) with the reference's
-    '(c r q)' channel order (wan_video_vae.py:199-211)."""
+    """(B, C, F, H, W) -> channels-last (B, F, H/p, W/p, C*p*p) with the
+    reference's '(c r q)' channel order (wan_video_vae.py:199-211)."""
     from einops import rearrange
-    return rearrange(x, "b c f (h q) (w r) -> b (c r q) f h w", q=p, r=p)
+    return rearrange(x, "b c f (h q) (w r) -> b f h w (c r q)", q=p, r=p)
 
 
 def pixel_unpatchify(x, p: int = 2):
+    """channels-last (B, F, H, W, C*p*p) -> (B, C, F*1, H*p, W*p)."""
     from einops import rearrange
-    return rearrange(x, "b (c r q) f h w -> b c f (h q) (w r)", q=p, r=p)
+    return rearrange(x, "b f h w (c r q) -> b c f (h q) (w r)", q=p, r=p)
 
 
 def avg_down3d(x, out_channels: int, factor_t: int, factor_s: int = 1):
     """AvgDown3D (wan_video_vae.py:345-395): left-pad T to a multiple of
-    factor_t, space-time-to-channel, grouped mean."""
-    B, C, T, H, W = x.shape
+    factor_t, space-time-to-channel, grouped mean. Channels-last x."""
+    B, T, H, W, C = x.shape
     pad_t = (factor_t - T % factor_t) % factor_t
     if pad_t:
-        x = jnp.pad(x, ((0, 0), (0, 0), (pad_t, 0), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
         T += pad_t
     factor = factor_t * factor_s * factor_s
     group_size = C * factor // out_channels
-    x = x.reshape(B, C, T // factor_t, factor_t, H // factor_s, factor_s,
-                  W // factor_s, factor_s)
+    x = x.reshape(B, T // factor_t, factor_t, H // factor_s, factor_s,
+                  W // factor_s, factor_s, C)
+    # flattened channel order must be (C, ft, fs_h, fs_w) major-to-minor
     x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
-    x = x.reshape(B, C * factor, T // factor_t, H // factor_s, W // factor_s)
-    x = x.reshape(B, out_channels, group_size, T // factor_t, H // factor_s,
-                  W // factor_s)
-    return x.mean(axis=2)
+    x = x.reshape(B, T // factor_t, H // factor_s, W // factor_s,
+                  out_channels, group_size)
+    return x.mean(axis=-1)
 
 
 def dup_up3d(x, out_channels: int, factor_t: int, factor_s: int = 1,
              first_chunk: bool = False):
-    """DupUp3D (wan_video_vae.py:398-439)."""
-    B, C, T, H, W = x.shape
+    """DupUp3D (wan_video_vae.py:398-439). Channels-last x."""
+    B, T, H, W, C = x.shape
     factor = factor_t * factor_s * factor_s
     repeats = out_channels * factor // C
-    x = jnp.repeat(x, repeats, axis=1)
-    x = x.reshape(B, out_channels, factor_t, factor_s, factor_s, T, H, W)
+    x = jnp.repeat(x, repeats, axis=-1)
+    # channel split order (out_c, ft, fs_h, fs_w) major-to-minor
+    x = x.reshape(B, T, H, W, out_channels, factor_t, factor_s, factor_s)
     x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
-    x = x.reshape(B, out_channels, T * factor_t, H * factor_s, W * factor_s)
+    x = x.reshape(B, T * factor_t, H * factor_s, W * factor_s, out_channels)
     if first_chunk:
-        x = x[:, :, factor_t - 1:]
+        x = x[:, factor_t - 1:]
     return x
 
 
@@ -771,7 +824,7 @@ def up_residual_block(p, x, temperal_upsample: bool, up_flag: bool, mult: int,
     if up_flag:
         mode = "upsample3d" if temperal_upsample else "upsample2d"
         h = resample38_up(p["upsamples"][str(mult)], h, mode)
-        out_c = h.shape[1]
+        out_c = h.shape[-1]
         shortcut = dup_up3d(x, out_c, 2 if temperal_upsample else 1, 2,
                             first_chunk=first_chunk)
         return h + shortcut
@@ -816,22 +869,23 @@ def decoder3d_38(p, x, cfg: WanVAE38Config):
 
 def vae38_encode(params, video, cfg: WanVAE38Config = WAN22_VAE):
     """video (B, 3, T, H, W) -> normalized latents (B, 48, 1+(T-1)/4, H/16, W/16)."""
-    x = pixel_patchify(video, 2)
+    x = pixel_patchify(video, 2)          # channels-last
     out = encoder3d_38(params["encoder"], x, cfg)
     moments = causal_conv3d(params["conv1"], out)
-    mu = moments[:, :cfg.z_dim]
-    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
-    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)[None, :, None, None, None]
-    return (mu - mean) * inv_std
+    mu = moments[..., :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)
+    return from_cl((mu - mean) * inv_std)
 
 
 def vae38_decode(params, z, cfg: WanVAE38Config = WAN22_VAE, clamp: bool = True):
-    mean = jnp.asarray(cfg.latent_mean, z.dtype)[None, :, None, None, None]
-    std = jnp.asarray(cfg.latent_std, z.dtype)[None, :, None, None, None]
+    z = to_cl(z)
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)
+    std = jnp.asarray(cfg.latent_std, z.dtype)
     z = z * std + mean
     x = causal_conv3d(params["conv2"], z)
     out = decoder3d_38(params["decoder"], x, cfg)
-    video = pixel_unpatchify(out, 2)
+    video = pixel_unpatchify(out, 2)      # back to (B, C, T, H, W)
     if clamp:
         video = jnp.clip(video, -1.0, 1.0)
     return video
@@ -867,7 +921,7 @@ def _up_residual_block_io(p, x, io: _CacheIO, t_up: bool, up_flag: bool,
     if up_flag:
         mode = "upsample3d" if t_up else "upsample2d"
         h = _resample_up_io(p["upsamples"][str(mult)], h, mode, io, first)
-        out_c = h.shape[1]
+        out_c = h.shape[-1]
         shortcut = dup_up3d(x, out_c, 2 if t_up else 1, 2,
                             first_chunk=first)
         return h + shortcut
@@ -892,18 +946,17 @@ def _encode38_stream_step(params, chunk, caches, cfg, first: bool):
     x = _silu(x)
     x = _causal_conv3d_io(p["head"]["2"], x, io)
     moments = _causal_conv3d_io(params["conv1"], x, io)
-    mu = moments[:, :cfg.z_dim]
-    mean = jnp.asarray(cfg.latent_mean, mu.dtype)[None, :, None, None, None]
-    inv_std = 1.0 / jnp.asarray(cfg.latent_std,
-                                mu.dtype)[None, :, None, None, None]
-    return (mu - mean) * inv_std, io.out
+    mu = moments[..., :cfg.z_dim]
+    mean = jnp.asarray(cfg.latent_mean, mu.dtype)
+    inv_std = 1.0 / jnp.asarray(cfg.latent_std, mu.dtype)
+    return from_cl((mu - mean) * inv_std), io.out
 
 
 def _decode38_stream_step(params, z_chunk, caches, cfg, first: bool):
-    mean = jnp.asarray(cfg.latent_mean,
-                       z_chunk.dtype)[None, :, None, None, None]
-    std = jnp.asarray(cfg.latent_std, z_chunk.dtype)[None, :, None, None, None]
-    z = z_chunk * std + mean
+    z = to_cl(z_chunk)
+    mean = jnp.asarray(cfg.latent_mean, z.dtype)
+    std = jnp.asarray(cfg.latent_std, z.dtype)
+    z = z * std + mean
     io = _CacheIO(caches)
     x = _causal_conv3d_io(params["conv2"], z, io)
     p = params["decoder"]
