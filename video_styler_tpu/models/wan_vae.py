@@ -131,48 +131,18 @@ def conv2d_on_frames(p, x, stride=(1, 1), padding=((0, 0), (0, 0))):
 
 
 def upsample_conv_2x(p, x):
-    """nearest-2x spatial upsample + 3x3 conv, phase-decomposed.
+    """nearest-2x spatial upsample + 3x3 per-frame conv (the Resample
+    upsample path, wan_video_vae.py:82-117).
 
-    Mathematically identical to `conv2d(upsample_nearest_2x(x))` (the
-    Resample upsample path, wan_video_vae.py:82-117): each output pixel's
-    3x3 window covers only a 2x2 block of distinct low-res pixels, so the
-    conv folds into FOUR 2x2 convs at LOW resolution (4/9 of the FLOPs) and
-    the 4x-duplicated intermediate is never materialized. Phase kernels:
-      out[2y+py, 2x+px]: py=0 taps (w0)·x[y-1] + (w1+w2)·x[y]
-                         py=1 taps (w0+w1)·x[y] + (w2)·x[y+1]   (same in x)
-    computed as one conv with 4*O output channels then interleaved."""
-    w = p["weight"].astype(jnp.float32)  # (O, I, 3, 3)
-    O, I = w.shape[:2]
-    rows = [jnp.stack([w[:, :, 0], w[:, :, 1] + w[:, :, 2]], axis=2),
-            jnp.stack([w[:, :, 0] + w[:, :, 1], w[:, :, 2]], axis=2)]
-    phases = []
-    for py in (0, 1):
-        wy = rows[py]  # (O, I, 2, 3) — rows collapsed, cols raw
-        for px in (0, 1):
-            if px == 0:
-                wp = jnp.stack([wy[..., 0], wy[..., 1] + wy[..., 2]], axis=3)
-            else:
-                wp = jnp.stack([wy[..., 0] + wy[..., 1], wy[..., 2]], axis=3)
-            phases.append(wp)  # (O, I, 2, 2)
-    wp = jnp.concatenate(phases, axis=0).astype(x.dtype)  # (4O, I, 2, 2)
-    b, t, h, wd, c = x.shape
-    y = jax.lax.conv_general_dilated(
-        x, wp[:, :, None], window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
-        dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
-        preferred_element_type=jnp.float32)  # (B, T, h+1, w+1, 4O)
-    # phase (py, px) reads conv output j = y + py (window (j-1, j))
-    y00 = y[:, :, :h, :wd, 0 * O:1 * O]
-    y01 = y[:, :, :h, 1:, 1 * O:2 * O]
-    y10 = y[:, :, 1:, :wd, 2 * O:3 * O]
-    y11 = y[:, :, 1:, 1:, 3 * O:4 * O]
-    r0 = jnp.stack([y00, y01], axis=4)          # (B,T,h,w,2,O) px
-    r1 = jnp.stack([y10, y11], axis=4)
-    out = jnp.stack([r0, r1], axis=3)            # (B,T,h,2,w,2,O) py
-    out = out.reshape(b, t, 2 * h, 2 * wd, O)
-    if "bias" in p:
-        out = out + p["bias"].astype(jnp.float32)
-    return out.astype(x.dtype)
+    Negative result, measured end-to-end on v5e (480p73f streaming decode,
+    steady state): a phase-decomposed form (folding the conv into four 2x2
+    convs at LOW resolution — 4/9 of the FLOPs, no materialized 4x
+    intermediate) wins standalone microbenches but LOSES in the full decode
+    graph, 5.09 s -> 5.97 s: the 4-phase slice/stack/reshape interleave is
+    an extra full-size bandwidth pass XLA cannot fuse away, while the naive
+    nearest-repeat feeds the conv emitter directly. Keep the naive form."""
+    x = upsample_nearest_2x(x)
+    return conv2d_on_frames(p, x, padding=((1, 1), (1, 1)))
 
 
 def rms_norm_spatial(p, x, eps: float = 1e-12):
