@@ -26,13 +26,11 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def timeit(fn, n=5):
-    _sync(fn())
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / n * 1e3
+def timeit(fn, n=20):
+    # overhead-calibrated (the tunnel adds ~30-45 ms per measured batch;
+    # see tools/bench_utils.py — n=5 timings over-report by ~6-9 ms/call)
+    from bench_utils import timeit as _t
+    return _t(fn, n=n)
 
 
 def main():

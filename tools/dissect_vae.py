@@ -7,6 +7,11 @@ decomposition, phase-decomposed upsample conv) to find where the ~74% of
 peak goes missing (decoder = ~268 TFLOP, measured 5.2 s = 26% of peak).
 
 Usage: python tools/dissect_vae.py [--stage a|b|all]
+
+NOTE on absolute numbers: each timed batch pays the tunnel's fixed
+~30-45 ms sync cost (tools/bench_utils.py) — at the ~1 s chunk scale
+that is ~4% inflation; stage B's small convs use n=5 and over-report by
+~6-9 ms each. Use bench_utils.timeit for anything precision-critical.
 """
 import argparse
 import json
@@ -58,15 +63,18 @@ def stage_a(out):
     out["dec_first_chunk_ms"] = (time.perf_counter() - t0) * 1e3
     y, c2 = stepn(params, z[:, :, 1:5], caches)
     _sync(y)
+    del c2  # keep ONE cache pytree live; two wedge the 16 GB chip (OOM)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         y, c2 = stepn(params, z[:, :, 1:5], caches)
         _sync(y)
         times.append((time.perf_counter() - t0) * 1e3)
+        del c2
     out["dec_chunk4_ms"] = sorted(times)[1]
     _log(f"decode: first-chunk {out['dec_first_chunk_ms']:.0f} ms, "
          f"4-frame chunk {out['dec_chunk4_ms']:.0f} ms (x5 chunks + first)")
+    del y, caches
 
     # encode chunk timing
     video = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 73, 480, 832),
@@ -77,12 +85,14 @@ def stage_a(out):
     _sync(y)
     y, c2 = estepn(params, video[:, :, 1:5], caches)
     _sync(y)
+    del c2
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         y, c2 = estepn(params, video[:, :, 1:5], caches)
         _sync(y)
         times.append((time.perf_counter() - t0) * 1e3)
+        del c2
     out["enc_chunk4_ms"] = sorted(times)[1]
     _log(f"encode: 4-frame chunk {out['enc_chunk4_ms']:.0f} ms (x18 chunks)")
     return out
