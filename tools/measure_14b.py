@@ -328,10 +328,12 @@ def measure(args):
         save()
         del trainer, vace_lora, g
 
-    try:
-        del streamer, v, step_lat
-    except NameError:
-        del streamer
+    # the train stage deletes v/step_lat and rebuilds only the streamer, so
+    # drop leftovers individually (a grouped `del a, b, c` raises mid-way on
+    # the first unbound name, and the except clause then re-deletes a name
+    # the partial del already removed — that crash lost the end-of-run
+    # recipe composition once)
+    streamer = v = step_lat = None
     gc.collect()
 
     # ---------------- stage 4: bf16 streamed pass ------------------------

@@ -30,9 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tuned on v5e for the layout-native 4-D kernel (tools/sweep_flash_blocks):
-#   14B self-attn (29,640 tok, 40 heads, d=128): 1024/1024 -> 136.5 ms
-#     (132 TF/s, 67% bf16 peak); 1024/2048 -> 154, 512/1024 -> 146.
-#   1.3B self-attn (32,760 tok, 12 heads): 1024/1024 -> 54.1 ms (122 TF/s).
+#   14B self-attn (29,640 tok, 40 heads, d=128): 1024/1024 best; measured
+#     126.8 ms overhead-calibrated (141.8 TF/s, 72.0% bf16 peak —
+#     tools/bench_utils; the sweep's raw n=5 readings carry ~+8 ms each,
+#     relative order unaffected): 1024/2048 and 512/1024 are worse.
+#   1.3B self-attn (32,760 tok, 12 heads): 1024/1024 -> ~46 ms calibrated.
 # 2048/2048 exceeds the VMEM budget (the fp32 s block dominates). The
 # remaining gap to the 91 ms MXU floor is the softmax VPU chain
 # (sub+exp2+max+sum over S^2*N elements) partially serializing with the MXU.
