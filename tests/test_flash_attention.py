@@ -334,3 +334,55 @@ def test_fa_bwd_pallas_matches_xla(sq, sk, monkeypatch):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mag", [1.0, 8.0, 24.0])
+def test_pallas_4d_capped_kernel(mag, monkeypatch):
+    """Capped-softmax kernel == sdpa across logit magnitudes.
+
+    mag scales q so max |logit| reaches ~mag * sqrt(D) * scale levels —
+    24.0 drives natural-log logits to ~100+, well past anything a trained
+    attention produces, probing the cap's fp32 slack envelope."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (2, 300, 3, 32)) * mag
+    k = _rand(1, (2, 520, 3, 32))
+    v = _rand(2, (2, 520, 3, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                      block_k=128, capped=True))
+    want = np.asarray(sdpa(q, k, v, scale=scale))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_pallas_4d_capped_matches_online(monkeypatch):
+    """Capped and online-max kernels agree to fp32-accumulation noise,
+    including the stats (logsumexp) output the backward consumes."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (1, 300, 2, 32))
+    k = _rand(1, (1, 300, 2, 32))
+    v = _rand(2, (1, 300, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    o_cap, l2_cap = fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                     block_k=128, capped=True,
+                                     return_stats=True)
+    o_on, l2_on = fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                   block_k=128, capped=False,
+                                   return_stats=True)
+    np.testing.assert_allclose(np.asarray(o_cap), np.asarray(o_on),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l2_cap), np.asarray(l2_on),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_capped_env_gate(monkeypatch):
+    """FLASH_CAPPED=0 falls back to the online-max kernel."""
+    fa = _interp(monkeypatch)
+    monkeypatch.setenv("FLASH_CAPPED", "0")
+    q = _rand(0, (1, 256, 2, 32))
+    k = _rand(1, (1, 256, 2, 32))
+    v = _rand(2, (1, 256, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d(q, k, v, scale, block_q=128,
+                                      block_k=128))
+    want = np.asarray(sdpa(q, k, v, scale=scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

