@@ -178,19 +178,73 @@ def test_flash_attention_4d_gradients(monkeypatch):
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("capped", [True, False])
 @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520)])
-def test_pallas_int8_4d_kernel_interpret_mode(sq, sk, monkeypatch):
+def test_pallas_int8_4d_kernel_interpret_mode(sq, sk, capped, monkeypatch):
     fa = _interp(monkeypatch)
     q = _rand(0, (2, sq, 3, 32))
     k = _rand(1, (2, sk, 3, 32)) + 0.7   # K mean offset: smoothing absorbs
     v = _rand(2, (2, sk, 3, 32))
     scale = 1.0 / np.sqrt(32)
     got = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
-                                           block_k=128), np.float32)
+                                           block_k=128, capped=capped),
+                     np.float32)
     want = np.asarray(sdpa(q, k, v, scale=scale), np.float32)
     cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.999, cos
     np.testing.assert_allclose(got, want, rtol=0.2, atol=0.05)
+
+
+def test_pallas_int8_4d_capped_matches_online(monkeypatch):
+    """The capped int8 kernel sees the SAME quantized logits as the
+    online-max one (the cap is exact on the int32 dot), so outputs agree
+    to fp32-accumulation noise — much tighter than the quantization
+    tolerance vs exact attention."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (1, 300, 2, 32))
+    k = _rand(1, (1, 520, 2, 32))
+    v = _rand(2, (1, 520, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    o_cap = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
+                                             block_k=128, capped=True),
+                       np.float32)
+    o_on = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
+                                            block_k=128, capped=False),
+                      np.float32)
+    np.testing.assert_allclose(o_cap, o_on, rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("mag", [8.0, 24.0])
+def test_pallas_int8_4d_capped_magnitude_stress(mag, monkeypatch):
+    """Logit magnitudes far beyond trained-attention levels must not flush
+    rows: the capped int8 kernel stays at quantization-noise agreement
+    with exact attention."""
+    fa = _interp(monkeypatch)
+    q = _rand(0, (1, 300, 2, 32)) * mag
+    k = _rand(1, (1, 300, 2, 32))
+    v = _rand(2, (1, 300, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
+                                           block_k=128, capped=True),
+                     np.float32)
+    want = np.asarray(sdpa(q, k, v, scale=scale), np.float32)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.99, cos
+
+
+def test_int8_capped_env_gate(monkeypatch):
+    """FLASH_CAPPED=0 routes the int8 path to the online-max kernel."""
+    fa = _interp(monkeypatch)
+    monkeypatch.setenv("FLASH_CAPPED", "0")
+    q = _rand(0, (1, 256, 2, 32))
+    k = _rand(1, (1, 256, 2, 32))
+    v = _rand(2, (1, 256, 2, 32))
+    scale = 1.0 / np.sqrt(32)
+    got = np.asarray(fa._flash_fwd_4d_int8(q, k, v, scale, block_q=128,
+                                           block_k=128), np.float32)
+    want = np.asarray(sdpa(q, k, v, scale=scale), np.float32)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos
 
 
 @pytest.mark.parametrize("sq,sk", [(256, 256), (300, 520), (256, 900)])

@@ -233,6 +233,13 @@ def measure(args):
     # ------- stage 3: quantized 14B+VACE denoise (int4 resident / int8
     # streamed — int4 fits the whole 17 GB stack into ~8.7 GB HBM) --------
     qmode = args.mode
+    if args.sage:
+        # int8 capped-softmax attention alongside the quantized linears —
+        # the reference's own quantized path prefers sageattention
+        # (wan_video_dit.py:9-26), so this matches the recipe class
+        from video_styler_tpu.ops.attention import set_quantized_attention
+        set_quantized_attention(True)
+        out["quantized_attention"] = True
     dit_host, vace_host = build_host_dit(cfg, vcfg, qmode,
                                          alias=not args.full_store)
     streamer = WanBlockStreamer(
@@ -279,6 +286,12 @@ def measure(args):
     # 480x832x73): frozen quantized trunk re-run fwd+bwd, boundary
     # activations offloaded to host, grads only into the VACE LoRA.
     if args.train_step:
+        if args.sage:
+            # int8 attention is inference-only (round/clip have zero
+            # gradients); the train step differentiates through the bf16
+            # flash kernel's custom_vjp
+            from video_styler_tpu.ops.attention import set_quantized_attention
+            set_quantized_attention(False)
         from video_styler_tpu.trainers.lora_train import init_lora
         from video_styler_tpu.trainers.streaming_train import StreamingTrainer
         # training needs HBM for the per-block vjp residuals (weights +
@@ -428,6 +441,10 @@ def main():
                     help="1 = CFG branches as separate passes (default; "
                          "fits HBM beside the resident int4 stack); 2 = "
                          "merged posi+nega batch")
+    ap.add_argument("--sage", action="store_true",
+                    help="route the quantized denoise's attention through "
+                         "the int8 capped-softmax kernel (the reference's "
+                         "sageattention analog)")
     ap.add_argument("--train-step", action="store_true", default=True)
     ap.add_argument("--skip-train", dest="train_step", action="store_false")
     # True tunnel bandwidth is ~20-40 MB/s (docs/PERF_NOTES_r3.md): a

@@ -1022,15 +1022,70 @@ def _flash_kernel_int8_4d(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _flash_kernel_int8_4d_capped(q_ref, k_ref, v_ref, qs_ref, ks_ref,
+                                 m2_ref, o_ref, l_scr, acc_scr, *,
+                                 kv_steps: int, kv_len: int, block_k: int):
+    """Capped-softmax int8 kernel (see _flash_kernel_4d_capped for the
+    idea). The int8 path's per-row logit bound is EXACT on the quantized
+    values the MXU sees: the int32 dot obeys |q_i8 . k_i8| <=
+    ||q_i8|| * ||k_i8|| with no rounding (integer arithmetic), so
+    s[i,j] = dot * qs_i * ks_j <= qs_i*||q_i8_i|| * max_j(ks_j*||k_i8_j||)
+    = m2_i. Unlike the bf16 kernel nothing is recomputed in-kernel: the
+    wrapper already makes an XLA quantize pass over q/k, and the row-norm
+    reduces fuse into it — m2 rides in as a (B, N, Sq, 1) vector exactly
+    like the q scales. Deletes the per-KV-step max reduce, the m/alpha
+    bookkeeping, and the acc rescale from the VPU chain that bounds this
+    kernel."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # (BQ, D) int8
+    k = k_ref[0]                                    # (BK, D) int8
+    v = v_ref[0]                                    # (BK, D) bf16
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)           # (BQ, BK) int32
+    s = s.astype(jnp.float32) * qs_ref[0, 0] * ks_ref[0, 0] - m2_ref[0, 0]
+
+    if kv_len % block_k != 0:
+        kv_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(kv_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    p = jnp.exp2(s)                                  # (BQ, BK) fp32, <= 1
+    l_scr[:] += jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        l = jnp.maximum(l_scr[:], 1e-37)             # flushed row -> 0, not NaN
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
 def _flash_fwd_4d_int8(q, k, v, scale: float,
                        block_q: int = DEFAULT_BLOCK_Q,
-                       block_k: int = DEFAULT_BLOCK_K):
+                       block_k: int = DEFAULT_BLOCK_K,
+                       capped: Optional[bool] = None):
     """q/k/v: (B, S, N, D) float -> (B, Sq, N, D) bf16; int8 QK^T (K
     mean-smoothed over tokens), bf16 PV — layout-native, no transposes.
 
     The per-token scale vectors ride as (B, N, Sq, 1) / (B, N, 1, Sk)
     arrays whose singleton axes satisfy Mosaic's last-two-dims block rule
-    (they are tiny: B*N*S floats)."""
+    (they are tiny: B*N*S floats).
+
+    capped=True (default; FLASH_CAPPED=0 disables) replaces the online
+    max with the exact per-row Cauchy-Schwarz bound on the quantized
+    logits (_flash_kernel_int8_4d_capped)."""
+    import os
+    if capped is None:
+        capped = os.environ.get("FLASH_CAPPED", "1") == "1"
     b, sq, n, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
@@ -1048,42 +1103,68 @@ def _flash_fwd_4d_int8(q, k, v, scale: float,
     q_s = q_s * (scale * LOG2_E)
     v = v.astype(jnp.bfloat16)
 
+    if capped:
+        # exact per-row logit cap (fuses into the quantize pass):
+        # m2_i = qs_i*||q_i8_i|| * max_j(ks_j*||k_i8_j||); the 1.0001
+        # covers the f32 norm rounding (the int32 dot itself is exact)
+        qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                              axis=-1, keepdims=True))   # (B, Sq, N, 1)
+        kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)),
+                              axis=-1, keepdims=True))
+        kmax = jnp.max(k_s * kn, axis=1, keepdims=True)  # (B, 1, N, 1)
+        m2 = jnp.minimum(q_s * qn * kmax * 1.0001, 96.0)
+
     q_i8 = q_i8.reshape(b, sq, n * d)
     k_i8 = k_i8.reshape(b, sk, n * d)
     v = v.reshape(b, sk, n * d)
     qs_cols = q_s[..., 0].transpose(0, 2, 1)[..., None]  # (B, N, Sq, 1)
     ks_rows = k_s[..., 0].transpose(0, 2, 1)[:, :, None, :]  # (B, N, 1, Sk)
+    m2_cols = (m2[..., 0].transpose(0, 2, 1)[..., None]  # (B, N, Sq, 1)
+               if capped else None)
     if sq_pad:
         q_i8 = jnp.pad(q_i8, ((0, 0), (0, sq_pad), (0, 0)))
         qs_cols = jnp.pad(qs_cols, ((0, 0), (0, 0), (0, sq_pad), (0, 0)))
+        if capped:
+            m2_cols = jnp.pad(m2_cols, ((0, 0), (0, 0), (0, sq_pad), (0, 0)))
     if sk_pad:
         k_i8 = jnp.pad(k_i8, ((0, 0), (0, sk_pad), (0, 0)))
         ks_rows = jnp.pad(ks_rows, ((0, 0), (0, 0), (0, 0), (0, sk_pad)))
         v = jnp.pad(v, ((0, 0), (0, sk_pad), (0, 0)))
 
-    kernel = functools.partial(_flash_kernel_int8_4d, kv_steps=kv_steps,
-                               kv_len=sk, block_k=block_k)
+    row_spec = pl.BlockSpec((1, 1, block_q, 1),
+                            lambda b, n, qi, ki: (b, n, qi, 0))
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
+        pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+        pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
+        row_spec,
+        pl.BlockSpec((1, 1, 1, block_k),
+                     lambda b, n, qi, ki: (b, n, 0, ki)),
+    ]
+    if capped:
+        kernel = functools.partial(_flash_kernel_int8_4d_capped,
+                                   kv_steps=kv_steps, kv_len=sk,
+                                   block_k=block_k)
+        in_specs = in_specs + [row_spec]
+        args = (q_i8, k_i8, v, qs_cols, ks_rows, m2_cols)
+        scratch = [pltpu.VMEM((block_q, 1), jnp.float32),
+                   pltpu.VMEM((block_q, d), jnp.float32)]
+    else:
+        kernel = functools.partial(_flash_kernel_int8_4d, kv_steps=kv_steps,
+                                   kv_len=sk, block_k=block_k)
+        args = (q_i8, k_i8, v, qs_cols, ks_rows)
+        scratch = [pltpu.VMEM((block_q, 1), jnp.float32),
+                   pltpu.VMEM((block_q, 1), jnp.float32),
+                   pltpu.VMEM((block_q, d), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(b, n, q_steps, kv_steps),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, n, qi, ki: (b, qi, n)),
-            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
-            pl.BlockSpec((1, block_k, d), lambda b, n, qi, ki: (b, ki, n)),
-            pl.BlockSpec((1, 1, block_q, 1),
-                         lambda b, n, qi, ki: (b, n, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_k),
-                         lambda b, n, qi, ki: (b, n, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda b, n, qi, ki: (b, qi, n)),
         out_shape=jax.ShapeDtypeStruct((b, q_steps * block_q, n * d),
                                        jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -1092,7 +1173,7 @@ def _flash_fwd_4d_int8(q, k, v, scale: float,
             bytes_accessed=(q_i8.size + k_i8.size + v.size * 2),
             transcendentals=b * n * sq * sk,
         ),
-    )(q_i8, k_i8, v, qs_cols, ks_rows)
+    )(*args)
     out = out[:, :sq] if sq_pad else out
     return out.reshape(b, sq, n, d)
 
