@@ -258,6 +258,10 @@ def measure(args):
     t0 = time.perf_counter()
     v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
     _sync(v)
+    # warm the Euler-update graph too: it otherwise compiles inside the
+    # timed loop at the first step boundary (a ~2 s hit on ONE pass —
+    # every prior run shows exactly one 11.4 s outlier at step 1 branch 0)
+    _sync((lat - 0.02 * v).astype(jnp.bfloat16))
     out[f"{qmode}_pass_compile_s"] = time.perf_counter() - t0
     _log(f"{qmode} warmup (compile) {out[f'{qmode}_pass_compile_s']:.0f}s")
     _mem(out, f"{qmode}_after_warmup")
