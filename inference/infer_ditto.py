@@ -119,10 +119,11 @@ def main():
                    help="quantize DiT linears (the fp8-baseline analog; "
                         "int8 runs the v5e MXU at 2x bf16 rate)")
     p.add_argument("--streaming", type=str, default=None,
-                   choices=["int8", "bf16"],
+                   choices=["int4", "int8", "bf16", "f32"],
                    help="host-resident block streaming: run a DiT bigger "
-                        "than HBM (the vram_management analog; int8 keeps "
-                        "more blocks resident). Combine with "
+                        "than HBM (the vram_management analog; int4/int8 "
+                        "keep more blocks resident, bf16 casts an f32 "
+                        "checkpoint, f32 streams untouched). Combine with "
                         "--streaming_budget_gb to size residency.")
     p.add_argument("--streaming_budget_gb", type=float, default=13.5)
     p.add_argument("--cfg_merge", action="store_true",

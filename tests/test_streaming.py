@@ -2,9 +2,13 @@
 
 The reference proves its streaming layer by running the same model with and
 without enable_vram_management; here the WanBlockStreamer must reproduce
-wan_dit_forward bit-for-bit (bf16 mode) and match the quantized resident
-path (int8 mode) for every residency split, including the interleaved VACE
-hint walk."""
+wan_dit_forward bit-for-bit (f32 passthrough mode — identical values AND
+identical rounding points) and match the quantized resident path (int8
+mode) for every residency split, including the interleaved VACE hint walk.
+
+mode="bf16" casts an f32 checkpoint to bf16 host-side (streaming f32 would
+double the advertised bytes); the cast output can only be compared at bf16
+tolerance because jit-vs-eager programs round at different points."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,7 +36,7 @@ def test_streaming_matches_resident_forward(resident):
     lat, ts, ctx = _tiny_inputs(jax.random.PRNGKey(1), cfg)
     ref = wan_dit_forward(params, cfg, lat, ts, ctx)
 
-    streamer = WanBlockStreamer(params, cfg, mode="bf16",
+    streamer = WanBlockStreamer(params, cfg, mode="f32",
                                 resident_blocks=resident, prefetch_depth=2)
     out, t_mod, residual = streamer.forward(lat, ts, ctx, want_residual=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -58,7 +62,7 @@ def test_streaming_vace_interleaved_matches(resident):
                           vace_params=vace_params, vace_cfg=vcfg,
                           vace_context=vace_context, vace_scale=0.8)
 
-    streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="bf16",
+    streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="f32",
                                 resident_blocks=resident, prefetch_depth=2)
     out, _, _ = streamer.forward(lat, ts, ctx, vace_context=vace_context,
                                  vace_scale=0.8)
@@ -128,7 +132,7 @@ def test_pipeline_streaming_matches_resident():
     ref = np.asarray(pipe("stylize", **kw))
 
     pipe2 = _tiny_pipe()
-    summary = pipe2.enable_block_streaming(mode="bf16", resident_blocks=1,
+    summary = pipe2.enable_block_streaming(mode="f32", resident_blocks=1,
                                            prefetch_depth=2)
     assert summary["resident_blocks"] == 1
     assert pipe2.dit_params is None  # device copy released
@@ -155,7 +159,31 @@ def test_editor_streaming_matches_resident():
     pipe = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
     ref = np.asarray(pipe("edit", **kw))
     pipe2 = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
-    pipe2.enable_block_streaming(mode="bf16", resident_blocks=0,
+    pipe2.enable_block_streaming(mode="f32", resident_blocks=0,
                                  prefetch_depth=2)
     out = np.asarray(pipe2("edit", **kw))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_mode_casts_f32_checkpoint():
+    """mode="bf16" must not silently stream an f32 checkpoint at 2x the
+    advertised bytes: floating leaves are cast host-side, int leaves kept."""
+    import ml_dtypes
+    cfg = WAN_DIT_TINY
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg)  # f32
+    streamer = WanBlockStreamer(params, cfg, mode="bf16",
+                                resident_blocks=0, prefetch_depth=1)
+    leaves = jax.tree_util.tree_leaves(streamer.streamed_host[0])
+    float_leaves = [leaf for leaf in leaves
+                    if leaf.dtype == ml_dtypes.bfloat16
+                    or np.issubdtype(leaf.dtype, np.floating)]
+    assert float_leaves
+    assert all(leaf.dtype == ml_dtypes.bfloat16 for leaf in float_leaves)
+    # and the cast path's forward stays within bf16 tolerance of the f32
+    # reference (values match; only rounding points differ)
+    lat, ts, ctx = _tiny_inputs(jax.random.PRNGKey(1), cfg)
+    ref = wan_dit_forward(params, cfg, lat, ts, ctx)
+    out, _, _ = streamer.forward(lat, ts, ctx)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)

@@ -68,7 +68,7 @@ def test_trunk_lora_grads_match(resident):
     want_loss, want_g = jax.value_and_grad(
         lambda l: _ref_loss(params, cfg, l, lat, ts, ctx, target))(lora)
 
-    streamer = WanBlockStreamer(params, cfg, mode="bf16",
+    streamer = WanBlockStreamer(params, cfg, mode="f32",
                                 resident_blocks=resident, prefetch_depth=2)
     trainer = StreamingTrainer(streamer)
     loss, g_trunk, _ = trainer.loss_and_grads(lat, ts, ctx, target,
@@ -99,7 +99,7 @@ def test_vace_lora_grads_match():
                             vace_params=vace_params, vcfg=vcfg, vctx=vctx,
                             vace_lora=l))(vace_lora)
 
-    streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="bf16",
+    streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="f32",
                                 resident_blocks=1, prefetch_depth=2)
     trainer = StreamingTrainer(streamer)
     loss, _, g_vace = trainer.loss_and_grads(lat, ts, ctx, target,
@@ -160,7 +160,7 @@ def test_quantized_base_lora_grads_match_dequant_reference(mode):
                                              vace_lora=vace_lora)
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-4)
     # ~0.5% grad spread comes from per-block recompute vs whole-graph
-    # autodiff op ordering (the bf16 tests already need 3e-4 for the same
+    # autodiff op ordering (the f32 tests already need 3e-4 for the same
     # trainer); an STE-style mismatch would be O(100%), so this still
     # pins the exact-gradient contract. Direction parity checked too.
     for path in vace_lora:

@@ -49,6 +49,19 @@ def _to_host_np(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _host_bf16(tree):
+    """mode="bf16" cast: an f32 checkpoint must not silently stream and
+    compute at twice the advertised bytes/FLOPs."""
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+
+    def cast(x):
+        if x.dtype != bf16 and np.issubdtype(x.dtype, np.floating):
+            return x.astype(bf16)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 class WanBlockStreamer:
     """Host-resident Wan DiT (+ optional VACE branch) with streamed blocks.
 
@@ -67,7 +80,7 @@ class WanBlockStreamer:
                  prefetch_depth: int = 3, num_streams: int = 8,
                  device=None, quant_min_size: int = 1 << 16,
                  quant_min_dim: int = 128):
-        if mode not in ("int4", "int8", "bf16"):
+        if mode not in ("int4", "int8", "bf16", "f32"):
             raise ValueError(f"unsupported streaming mode {mode!r}")
         self.cfg = cfg
         self.vace_cfg = vace_cfg
@@ -82,7 +95,13 @@ class WanBlockStreamer:
                             min_dim=quant_min_dim),
             "int4": partial(host_quantize_int4, min_size=quant_min_size,
                             min_dim=quant_min_dim),
-            "bf16": lambda t: t}[mode]
+            "bf16": _host_bf16,
+            # "f32": stream the checkpoint dtype untouched (4 B/param for an
+            # f32 checkpoint — twice bf16's traffic). This is the bit-exact
+            # machinery-parity mode: with identical param values the walk
+            # reproduces wan_dit_forward exactly, which the bf16 cast cannot
+            # (jit-vs-eager rounding points differ at bf16 precision).
+            "f32": lambda t: t}[mode]
         small = {k: v for k, v in dit_params.items() if k != "blocks"}
         blocks_host = _to_host_np(dit_params["blocks"])
         blocks_host = quantize(blocks_host)
@@ -107,7 +126,12 @@ class WanBlockStreamer:
             budget -= tree_bytes(small) * 2  # small params + working copies
             # prefetch pipeline holds depth+1 blocks plus one concat transient
             budget -= (prefetch_depth + 2) * per_block
-            resident_blocks = max(0, min(n, int(budget // per_block)))
+            resident_blocks = int(budget // per_block)
+        # clamp EXPLICIT values too: resident_blocks > n would build a
+        # resident segment no schedule position ever covers, and forward()
+        # would silently skip the whole trunk (e.g. reusing a 14B
+        # --resident value on the 1.3B config)
+        resident_blocks = max(0, min(n, resident_blocks))
         self.resident_blocks = resident_blocks
 
         self.small = jax.device_put(
@@ -153,6 +177,25 @@ class WanBlockStreamer:
                     vace_blocks_host, 0, self.num_vace)
 
     # ------------------------------------------------------------------
+    # walk schedule
+    # ------------------------------------------------------------------
+
+    def build_schedule(self, use_vace: bool) -> List[Tuple[str, int]]:
+        """Program-order streamed-item schedule: trunk block j at position
+        j; vace block i right after trunk layer vace_layers[i]. Shared by
+        forward() and StreamingTrainer so inference and training can never
+        walk different schedules."""
+        schedule: List[Tuple[str, int]] = []
+        vace_layers = self.vace_cfg.vace_layers if use_vace else ()
+        vi = 0
+        for j in range(self.num_layers):
+            schedule.append(("trunk", j))
+            if vi < len(vace_layers) and vace_layers[vi] == j:
+                schedule.append(("vace", vi))
+                vi += 1
+        return schedule
+
+    # ------------------------------------------------------------------
     # jitted pieces (cached; shapes key the executables via jax.jit)
     # ------------------------------------------------------------------
 
@@ -168,6 +211,16 @@ class WanBlockStreamer:
         key = ("embed", clip_feature is not None, y is not None,
                None if ri is None else tuple(ri.tolist()))
         if key not in self._jits:
+            # bound the rope_indices-keyed executables: a keyframe-editing
+            # session sweeping frame selections would otherwise accumulate
+            # one compiled program (+ baked tables) per distinct tuple for
+            # the streamer's lifetime
+            if ri is not None:
+                ri_keys = [k for k in self._jits
+                           if isinstance(k, tuple) and k and k[0] == "embed"
+                           and k[-1] is not None]
+                if len(ri_keys) >= 16:
+                    del self._jits[ri_keys[0]]
             def fn(small, latents, timestep, context, clip_feature, y):
                 t, t_mod = M.time_embed(small, cfg, timestep)
                 ctx = M.text_embed(small, context)
@@ -266,16 +319,7 @@ class WanBlockStreamer:
         # explicit copy: `tokens` itself is donated into the first block call
         tokens_pre = jnp.copy(tokens) if want_residual else None
 
-        # Build the streamed-item schedule in program order: trunk block j
-        # at position j; vace block i right after trunk layer vace_layers[i].
-        schedule: List[Tuple[str, int]] = []
-        vace_layers = self.vace_cfg.vace_layers if use_vace else ()
-        vi = 0
-        for j in range(self.num_layers):
-            schedule.append(("trunk", j))
-            if vi < len(vace_layers) and vace_layers[vi] == j:
-                schedule.append(("vace", vi))
-                vi += 1
+        schedule = self.build_schedule(use_vace)
 
         host_items = []
         for kind, idx in schedule:
@@ -337,9 +381,13 @@ class WanBlockStreamer:
         """TeaCache skip path: replay the cached trunk residual
         (wan_video_new.py:1418-1419,1455-1456) without touching the blocks."""
         cfg = self.cfg
+        # `context` is accepted for signature parity with forward() but the
+        # skip path never reads it — keep it out of the jitted call so it
+        # neither transfers nor keys retraces on prompt shape
+        del context
         key = ("skip", y is not None)
         if key not in self._jits:
-            def fn(small, latents, timestep, context, residual, y):
+            def fn(small, latents, timestep, residual, y):
                 t, _ = M.time_embed(small, cfg, timestep)
                 if y is not None and cfg.require_vae_embedding:
                     latents = jnp.concatenate(
@@ -350,8 +398,7 @@ class WanBlockStreamer:
                 out = M.head(small, cfg, tokens, t)
                 return out
             self._jits[key] = jax.jit(fn)
-        out = self._jits[key](self.small, latents, timestep, context,
-                              residual, y)
+        out = self._jits[key](self.small, latents, timestep, residual, y)
         pt, ph, pw = cfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
                 latents.shape[4] // pw)

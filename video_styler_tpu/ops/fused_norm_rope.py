@@ -240,7 +240,12 @@ def fused_rmsnorm_rope(q_proj, k_proj, wq, wk, cos, sin,
         use_pallas = (jax.default_backend() == "tpu"
                       and (2 * cos.shape[1]) % 128 == 0
                       and q_proj.shape[-1] % (2 * cos.shape[1]) == 0
-                      and q_proj.shape[-1] <= 5120)
+                      and q_proj.shape[-1] <= 5120
+                      # same minimum-sequence guard as fused_rmsnorm: at
+                      # tiny S the pow2 block_s drops below the bf16
+                      # sublane tile (Mosaic compile error under jit) and
+                      # the kernel loses to the XLA composition anyway
+                      and q_proj.shape[1] >= 1024)
     if not use_pallas:
         return _reference(q_proj, k_proj, wq, wk, cos, sin, eps)
     return _fused(q_proj, k_proj, wq, wk, cos, sin, eps)

@@ -8,10 +8,13 @@ TPU-native equivalent here:
 
   * the frozen trunk's block weights live in host RAM and are streamed per
     block by the WanBlockStreamer machinery — forward AND again, in reverse
-    order, for the backward;
+    order, for the backward; both walks prefetch through a PrefetchQueue
+    (the walk order is known in advance), so transfers overlap compute;
   * segment-boundary activations are offloaded to host during the forward
-    (the save_on_cpu analog) and brought back one at a time in the reverse
-    walk, so device memory holds O(1) blocks + O(1) activations;
+    (the save_on_cpu analog) via copy_to_host_async — the next block
+    dispatches before the boundary lands — and brought back one at a time
+    in the reverse walk, so device memory holds O(1) blocks + O(1)
+    activations;
   * each block's backward is an isolated jax.vjp that recomputes the block
     forward from its boundary input (per-block checkpointing) and yields
     the carry cotangent plus — for LoRA-targeted blocks — the A/B grads.
@@ -32,6 +35,7 @@ import jax.numpy as jnp
 from ..models import wan_dit as M
 from ..models.wan_streaming import WanBlockStreamer
 from ..ops.basic import linear
+from ..parallel.streaming import PrefetchQueue
 from .lora_train import apply_lora
 
 
@@ -191,67 +195,114 @@ class StreamingTrainer:
         scheduler's timestep weighting folded into loss_weight)."""
         s = self.s
         use_vace = vace_context is not None and s.vace_cfg is not None
+        # the VACE chain carries gradient only into VACE LoRA factors (its
+        # other inputs — vace_context, tokens, frozen weights — are not
+        # trained), so with vace_lora=None its backward would re-stream and
+        # recompute every VACE block for nothing
+        bwd_vace = use_vace and vace_lora is not None
         tokens, ctx, t, t_mod, cos, sin, grid = s._embed(
             latents_noisy, timestep, context, None, None)
         vace_scale = jnp.asarray(vace_scale, jnp.float32)
 
         c = s._vace_embed(vace_context, tokens) if use_vace else None
 
-        schedule = []
-        vace_layers = s.vace_cfg.vace_layers if use_vace else ()
-        vi = 0
-        for j in range(s.num_layers):
-            schedule.append(("trunk", j))
-            if vi < len(vace_layers) and vace_layers[vi] == j:
-                schedule.append(("vace", vi))
-                vi += 1
+        schedule = s.build_schedule(use_vace)
+        need_bwd = trunk_lora is not None or vace_lora is not None
 
         # ---------- forward with host-offloaded boundary activations ------
+        # boundary stash is ASYNC: start the device->host copy, dispatch the
+        # next block, and only materialize the numpy once a newer boundary
+        # is in flight — the save_on_cpu analog without serializing D2H
+        # transfers against compute
         stash: Dict[int, np.ndarray] = {}
+        in_flight: list = []  # [(si, device_array)]
+
+        def _stash(si, arr):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+            in_flight.append((si, arr))
+
+        def _drain(limit: int):
+            while len(in_flight) > limit:
+                psi, arr = in_flight.pop(0)
+                stash[psi] = np.asarray(arr)
+
+        fwd_queue = self._make_queue(
+            kind_filter=lambda kind, idx: (
+                (kind == "trunk" and idx >= s.resident_blocks)
+                or (kind == "vace" and s.vace_streamed_host is not None)),
+            order=schedule)
         x = tokens
         for si, (kind, idx) in enumerate(schedule):
             if kind == "trunk":
-                stash[si] = np.asarray(x)        # save_on_cpu analog
-                bp = self._trunk_block(idx)
+                if need_bwd:
+                    _stash(si, x)
+                bp, pending = self._next_block(kind, idx, fwd_queue)
                 x = self._block_fwd(bp, _slice_lora(trunk_lora, idx), x,
                                     ctx, t_mod, cos, sin)
             else:
-                stash[si] = np.asarray(c)
-                vb = self._vace_block(idx)
+                if bwd_vace:
+                    _stash(si, c)
+                vb, pending = self._next_block(kind, idx, fwd_queue)
                 c, hint = self._vace_fwd(vb, _slice_lora(vace_lora, idx),
                                          c, ctx, t_mod, cos, sin)
                 x = x + hint.astype(x.dtype) * vace_scale.astype(x.dtype)
+            if pending is not None:
+                pending.delete()
+            _drain(1)
+        _drain(0)
 
         loss, dx = self._head_loss(x, t, grid, target,
                                    jnp.asarray(loss_weight, jnp.float32))
+        if not need_bwd:
+            return loss, None, None
 
         # ---------- reverse walk: re-stream params, recompute, vjp --------
         trunk_grads = {} if trunk_lora is not None else None
         vace_grads = {} if vace_lora is not None else None
+        rev_trunk = [("trunk", idx) for kind, idx in reversed(schedule)
+                     if kind == "trunk"]
+        bwd_queue = self._make_queue(
+            kind_filter=lambda kind, idx: idx >= s.resident_blocks,
+            order=rev_trunk)
         d_hints: Dict[int, jnp.ndarray] = {}
         for si in reversed(range(len(schedule))):
             kind, idx = schedule[si]
             if kind == "vace":
-                d_hints[idx] = dx * vace_scale.astype(dx.dtype)
+                if bwd_vace:
+                    d_hints[idx] = dx * vace_scale.astype(dx.dtype)
                 continue
-            bp = self._trunk_block(idx)
+            bp, pending = self._next_block(kind, idx, bwd_queue)
             x_in = jnp.asarray(stash[si])
             dx, dlora = self._block_bwd(bp, _slice_lora(trunk_lora, idx),
                                         x_in, ctx, t_mod, cos, sin, dx)
+            if pending is not None:
+                pending.delete()
             if dlora is not None:
                 trunk_grads[idx] = dlora
             del stash[si]
 
-        if use_vace:
+        if bwd_vace:
             d_c = jnp.zeros_like(c)
             vace_sis = [si for si, (k, _) in enumerate(schedule)
                         if k == "vace"]
-            for i in reversed(range(len(vace_layers))):
-                vb = self._vace_block(i)
+            n_vace = len(vace_sis)
+            vrev_queue = None
+            if s.vace_streamed_host is not None:
+                vrev_queue = PrefetchQueue(
+                    [s.vace_streamed_host[i]
+                     for i in reversed(range(n_vace))],
+                    s.loader, s.prefetch_depth)
+            for i in reversed(range(n_vace)):
+                vb, pending = self._next_block("vace", i, vrev_queue)
                 c_in = jnp.asarray(stash[vace_sis[i]])
                 d_c, dlora = self._vace_bwd(vb, _slice_lora(vace_lora, i),
                                             c_in, ctx, t_mod, cos, sin,
                                             d_c, d_hints[i].astype(d_c.dtype))
+                if pending is not None:
+                    pending.delete()
                 if dlora is not None:
                     vace_grads[i] = dlora
 
@@ -261,20 +312,35 @@ class StreamingTrainer:
 
     # ---------------- param access (resident or streamed) ----------------
 
-    def _trunk_block(self, idx: int):
+    def _make_queue(self, kind_filter, order):
+        """PrefetchQueue over the streamed host blocks a walk will consume,
+        in exactly that order — transfers overlap block compute instead of
+        the blocking per-block put the first version of this trainer used."""
         s = self.s
-        if idx < s.resident_blocks:
-            return s.resident_block(idx)
-        return self._put(s.streamed_host[idx - s.resident_blocks])
+        host_items = []
+        for kind, idx in order:
+            if not kind_filter(kind, idx):
+                continue
+            if kind == "trunk":
+                host_items.append(s.streamed_host[idx - s.resident_blocks])
+            else:
+                host_items.append(s.vace_streamed_host[idx])
+        if not host_items:
+            return None
+        return PrefetchQueue(host_items, s.loader, s.prefetch_depth)
 
-    def _vace_block(self, idx: int):
+    def _next_block(self, kind, idx, queue):
+        """-> (device block tree, pending-or-None). Resident blocks come
+        from the streamer's pre-split segments; streamed ones pop the
+        walk's prefetch queue (caller deletes the pending after use)."""
         s = self.s
-        if s.vace_resident_blocks is not None:
-            return s.vace_resident_blocks[idx]
-        return self._put(s.vace_streamed_host[idx])
-
-    def _put(self, host_tree):
-        return self.s.loader.put(host_tree).get()
+        if kind == "trunk":
+            if idx < s.resident_blocks:
+                return s.resident_block(idx), None
+        elif s.vace_resident_blocks is not None:
+            return s.vace_resident_blocks[idx], None
+        pending, tree = queue.pop()
+        return tree, pending
 
     def _vace_fwd(self, vb, lora_i, c, ctx, t_mod, cos, sin):
         bcfg = self.s.vace_cfg.block_cfg()
