@@ -55,8 +55,9 @@ def _ref_loss(params, cfg, lora, lat, ts, ctx, target,
                                - target.astype(jnp.float32)))
 
 
+@pytest.mark.parametrize("ckpt", ["host", "device"])
 @pytest.mark.parametrize("resident", [0, 1])
-def test_trunk_lora_grads_match(resident):
+def test_trunk_lora_grads_match(resident, ckpt):
     cfg, params, _, _, lat, ts, ctx, target, _ = _setup(False)
     lora = init_lora(jax.random.PRNGKey(7), params,
                      rank=4, targets=("blocks.self_attn.q", "blocks.ffn.fc1"))
@@ -70,7 +71,9 @@ def test_trunk_lora_grads_match(resident):
 
     streamer = WanBlockStreamer(params, cfg, mode="f32",
                                 resident_blocks=resident, prefetch_depth=2)
-    trainer = StreamingTrainer(streamer)
+    # segment=1 puts a boundary at every item (degenerate sqrt-ckpt);
+    # the tiny 2-block schedule also exercises the partial last segment
+    trainer = StreamingTrainer(streamer, activation_ckpt=ckpt, segment=1)
     loss, g_trunk, _ = trainer.loss_and_grads(lat, ts, ctx, target,
                                               trunk_lora=lora)
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
@@ -83,8 +86,16 @@ def test_trunk_lora_grads_match(resident):
                                    rtol=2e-4, atol=1e-6)
 
 
-def test_vace_lora_grads_match():
-    """The Ditto recipe shape: LoRA on the VACE branch, trunk frozen."""
+@pytest.mark.parametrize("ckpt,segment", [("host", None), ("device", 3),
+                                          ("device", 2)])
+def test_vace_lora_grads_match(ckpt, segment):
+    """The Ditto recipe shape: LoRA on the VACE branch, trunk frozen.
+
+    device mode with segment=3 splits the 4-item interleaved schedule
+    [trunk0, vace0, trunk1, vace1] mid-chain, covering the recompute of a
+    vace hint inside a segment AND the interleaved VACE backward across a
+    segment boundary; segment=2 puts the boundary exactly at an injection
+    point."""
     cfg, params, vcfg, vace_params, lat, ts, ctx, target, vctx = _setup(True)
     vace_lora = init_lora(jax.random.PRNGKey(9), vace_params,
                           rank=4, targets=("blocks.self_attn.q",
@@ -101,7 +112,8 @@ def test_vace_lora_grads_match():
 
     streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="f32",
                                 resident_blocks=1, prefetch_depth=2)
-    trainer = StreamingTrainer(streamer)
+    trainer = StreamingTrainer(streamer, activation_ckpt=ckpt,
+                               segment=segment)
     loss, _, g_vace = trainer.loss_and_grads(lat, ts, ctx, target,
                                              vace_context=vctx,
                                              vace_scale=0.7,

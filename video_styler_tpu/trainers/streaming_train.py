@@ -10,11 +10,21 @@ TPU-native equivalent here:
     block by the WanBlockStreamer machinery — forward AND again, in reverse
     order, for the backward; both walks prefetch through a PrefetchQueue
     (the walk order is known in advance), so transfers overlap compute;
-  * segment-boundary activations are offloaded to host during the forward
-    (the save_on_cpu analog) via copy_to_host_async — the next block
-    dispatches before the boundary lands — and brought back one at a time
-    in the reverse walk, so device memory holds O(1) blocks + O(1)
-    activations;
+  * boundary activations are checkpointed one of two ways:
+      - activation_ckpt="device" (sqrt-checkpointing): every k-th (x, c)
+        boundary stays in HBM; the reverse walk recomputes the per-block
+        inputs segment by segment and runs the VACE backward interleaved.
+        ZERO activation bytes cross the host link — on hosts with a slow
+        device->host path this is the difference between a ~minute step
+        and a ~20-minute one (the build host's tunnel reads back at
+        ~15-20 MB/s while writing at ~95 MB/s; 48 boundaries x 290 MB
+        made the offload variant entirely D2H-bound);
+      - activation_ckpt="host": every boundary is offloaded to host RAM
+        via copy_to_host_async (the save_on_cpu analog) and brought back
+        one at a time in the reverse walk — O(1) activations in HBM, for
+        batch/sequence sizes where the device stash cannot fit;
+      - "auto" (default) picks "device" when the stash arithmetic fits
+        `device_stash_budget_gb`, else "host";
   * each block's backward is an isolated jax.vjp that recomputes the block
     forward from its boundary input (per-block checkpointing) and yields
     the carry cotangent plus — for LoRA-targeted blocks — the A/B grads.
@@ -26,6 +36,7 @@ q,k,v,o,ffn rank 128 — train.sh:1-19).
 """
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -84,9 +95,17 @@ class StreamingTrainer:
     trunk LoRA paths: "blocks.<...>"; vace LoRA paths: "blocks.<...>" in
     `vace_lora` (the VACE stack has its own block tree)."""
 
-    def __init__(self, streamer: WanBlockStreamer, lora_scale: float = 1.0):
+    def __init__(self, streamer: WanBlockStreamer, lora_scale: float = 1.0,
+                 activation_ckpt: str = "auto",
+                 segment: Optional[int] = None,
+                 device_stash_budget_gb: float = 8.0):
+        if activation_ckpt not in ("auto", "device", "host"):
+            raise ValueError(f"unknown activation_ckpt {activation_ckpt!r}")
         self.s = streamer
         self.scale = lora_scale
+        self.activation_ckpt = activation_ckpt
+        self.segment = segment
+        self.device_stash_budget = device_stash_budget_gb * 1e9
         self._jits = {}
 
     # ---------------- jitted pieces ----------------
@@ -208,14 +227,21 @@ class StreamingTrainer:
 
         schedule = s.build_schedule(use_vace)
         need_bwd = trunk_lora is not None or vace_lora is not None
+        ckpt, seg_k = self._pick_ckpt(schedule, tokens, c)
 
-        # ---------- forward with host-offloaded boundary activations ------
-        # boundary stash is ASYNC: start the device->host copy, dispatch the
-        # next block, and only materialize the numpy once a newer boundary
-        # is in flight — the save_on_cpu analog without serializing D2H
-        # transfers against compute
-        stash: Dict[int, np.ndarray] = {}
-        in_flight: list = []  # [(si, device_array)]
+        fwd_queue = self._make_queue(
+            kind_filter=lambda kind, idx: (
+                (kind == "trunk" and idx >= s.resident_blocks)
+                or (kind == "vace" and s.vace_streamed_host is not None)),
+            order=schedule)
+
+        # ---------- forward ------------------------------------------------
+        # "device": keep every seg_k-th (x, c) boundary in HBM.
+        # "host": offload EVERY boundary, async (copy_to_host_async first,
+        # materialize once a newer boundary is in flight).
+        saved: Dict[int, Tuple] = {}          # device mode: si -> (x, c)
+        stash: Dict[int, np.ndarray] = {}     # host mode: si -> numpy
+        in_flight: list = []                  # host mode: [(si, dev array)]
 
         def _stash(si, arr):
             try:
@@ -229,21 +255,18 @@ class StreamingTrainer:
                 psi, arr = in_flight.pop(0)
                 stash[psi] = np.asarray(arr)
 
-        fwd_queue = self._make_queue(
-            kind_filter=lambda kind, idx: (
-                (kind == "trunk" and idx >= s.resident_blocks)
-                or (kind == "vace" and s.vace_streamed_host is not None)),
-            order=schedule)
         x = tokens
         for si, (kind, idx) in enumerate(schedule):
+            if need_bwd and ckpt == "device" and si % seg_k == 0:
+                saved[si] = (x, c)
             if kind == "trunk":
-                if need_bwd:
+                if need_bwd and ckpt == "host":
                     _stash(si, x)
                 bp, pending = self._next_block(kind, idx, fwd_queue)
                 x = self._block_fwd(bp, _slice_lora(trunk_lora, idx), x,
                                     ctx, t_mod, cos, sin)
             else:
-                if bwd_vace:
+                if bwd_vace and ckpt == "host":
                     _stash(si, c)
                 vb, pending = self._next_block(kind, idx, fwd_queue)
                 c, hint = self._vace_fwd(vb, _slice_lora(vace_lora, idx),
@@ -259,9 +282,19 @@ class StreamingTrainer:
         if not need_bwd:
             return loss, None, None
 
-        # ---------- reverse walk: re-stream params, recompute, vjp --------
         trunk_grads = {} if trunk_lora is not None else None
         vace_grads = {} if vace_lora is not None else None
+
+        if ckpt == "device":
+            self._reverse_device(schedule, seg_k, saved, dx,
+                                 trunk_lora, vace_lora, bwd_vace, c,
+                                 ctx, t_mod, cos, sin, vace_scale,
+                                 trunk_grads, vace_grads)
+            return (loss,
+                    _restack(trunk_grads, trunk_lora),
+                    _restack(vace_grads, vace_lora))
+
+        # ---------- host-mode reverse: re-stream params, restore, vjp ------
         rev_trunk = [("trunk", idx) for kind, idx in reversed(schedule)
                      if kind == "trunk"]
         bwd_queue = self._make_queue(
@@ -309,6 +342,96 @@ class StreamingTrainer:
         return (loss,
                 _restack(trunk_grads, trunk_lora),
                 _restack(vace_grads, vace_lora))
+
+    # ---------------- activation checkpointing ----------------
+
+    def _pick_ckpt(self, schedule, tokens, c):
+        """-> ("device"|"host", segment size k).
+
+        "device" keeps ceil(n/k) (x, c) boundary pairs + one segment of
+        recomputed inputs + the segment's reused weights in HBM; picked
+        automatically when that arithmetic fits device_stash_budget_gb."""
+        k = self.segment or max(1, int(math.ceil(math.sqrt(len(schedule)))))
+        if self.activation_ckpt != "auto":
+            return self.activation_ckpt, k
+        from ..parallel.streaming import tree_bytes
+        xb = tokens.size * tokens.dtype.itemsize
+        cb = 0 if c is None else c.size * c.dtype.itemsize
+        n_bound = math.ceil(len(schedule) / k)
+        per_block = (tree_bytes(self.s.streamed_host[0])
+                     if self.s.streamed_host else 0)
+        need = (n_bound * (xb + cb) + k * max(xb, cb)
+                + (k + self.s.prefetch_depth + 1) * per_block)
+        return ("device" if need <= self.device_stash_budget else "host"), k
+
+    def _reverse_device(self, schedule, seg_k, saved, dx,
+                        trunk_lora, vace_lora, bwd_vace, c_final,
+                        ctx, t_mod, cos, sin, vace_scale,
+                        trunk_grads, vace_grads):
+        """Segment-wise reverse walk over device-resident boundaries.
+
+        Per segment (in reverse): re-stream its weights once, recompute the
+        per-item inputs forward from the saved (x, c) boundary, then vjp the
+        items in reverse — the VACE backward interleaves into the walk (the
+        hint cotangent dx*scale is exactly the carry dx when the reverse
+        passes the injection point), so no c stash outlives its segment."""
+        s = self.s
+        seg_starts = list(range(0, len(schedule), seg_k))
+        rev_order = []
+        for s0 in reversed(seg_starts):
+            rev_order.extend(schedule[s0:s0 + seg_k])
+        bwd_queue = self._make_queue(
+            kind_filter=lambda kind, idx: (
+                (kind == "trunk" and idx >= s.resident_blocks)
+                or (kind == "vace" and s.vace_streamed_host is not None)),
+            order=rev_order)
+        d_c = jnp.zeros_like(c_final) if bwd_vace else None
+        for s0 in reversed(seg_starts):
+            seg_items = schedule[s0:s0 + seg_k]
+            x_r, c_r = saved.pop(s0)
+            inputs, seg_blocks = [], []
+            last = len(seg_items) - 1
+            for j, (kind, idx) in enumerate(seg_items):
+                # weights fetched ONCE per segment, reused by the vjp below
+                bp, pending = self._next_block(kind, idx, bwd_queue)
+                seg_blocks.append((bp, pending))
+                if kind == "trunk":
+                    inputs.append(x_r)
+                    if j < last:  # the last item's output is never used
+                        x_r = self._block_fwd(
+                            bp, _slice_lora(trunk_lora, idx), x_r,
+                            ctx, t_mod, cos, sin)
+                else:
+                    inputs.append(c_r)
+                    if j < last:
+                        c_r, hint = self._vace_fwd(
+                            bp, _slice_lora(vace_lora, idx), c_r,
+                            ctx, t_mod, cos, sin)
+                        x_r = x_r + hint.astype(x_r.dtype) * \
+                            vace_scale.astype(x_r.dtype)
+            x_r = c_r = None
+            for j in reversed(range(len(seg_items))):
+                kind, idx = seg_items[j]
+                bp, pending = seg_blocks[j]
+                if kind == "vace":
+                    if bwd_vace:
+                        d_hint = dx * vace_scale.astype(dx.dtype)
+                        d_c, dlora = self._vace_bwd(
+                            bp, _slice_lora(vace_lora, idx), inputs[j],
+                            ctx, t_mod, cos, sin, d_c,
+                            d_hint.astype(d_c.dtype))
+                        if dlora is not None:
+                            vace_grads[idx] = dlora
+                else:
+                    dx, dlora = self._block_bwd(
+                        bp, _slice_lora(trunk_lora, idx), inputs[j],
+                        ctx, t_mod, cos, sin, dx)
+                    if dlora is not None:
+                        trunk_grads[idx] = dlora
+                if pending is not None:
+                    pending.delete()
+                inputs[j] = None
+                seg_blocks[j] = (None, None)
 
     # ---------------- param access (resident or streamed) ----------------
 
