@@ -201,11 +201,12 @@ def bench_measured_14b():
     if os.path.exists(out_path):
         os.remove(out_path)
     timeout = int(os.environ.get("BENCH_14B_TIMEOUT", "5400"))
-    # --skip-train: the streaming LoRA train step is ~43 min on this
-    # tunnel-attached host (compile 1430 s + step 1118 s, transfer-bound)
-    # and is already a committed measured artifact
-    # (docs/artifacts_m14b_r3.json); the bench re-measures the inference
-    # recipe fresh and carries the train number over with provenance.
+    # --skip-train: the streaming LoRA train step is ~17 min on this
+    # tunnel-attached host (compile 687 s + step 329 s with device-ckpt,
+    # H2D weight-restream-bound) and is already a committed measured
+    # artifact (docs/artifacts_m14b_r3.json); the bench re-measures the
+    # inference recipe fresh and carries the train number over with
+    # provenance.
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "measure_14b.py"),
@@ -296,8 +297,9 @@ def main_measured(m, extra):
                     extra[f"prior_measured_{k}"] = art[k]
             extra["prior_measured_train_note"] = (
                 "streaming LoRA train step measured on this chip in a "
-                "prior committed run (docs/artifacts_m14b_r3.json); "
-                "skipped at bench time (~43 min, tunnel transfer-bound)")
+                "prior committed run (docs/artifacts_m14b_r3.json, "
+                "device-resident sqrt activation ckpt); skipped at bench "
+                "time (~17 min, weight-restream-bound on this tunnel)")
         except Exception:
             pass
 

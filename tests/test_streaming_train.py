@@ -55,9 +55,10 @@ def _ref_loss(params, cfg, lora, lat, ts, ctx, target,
                                - target.astype(jnp.float32)))
 
 
+@pytest.mark.parametrize("sub_remat", [True, False])
 @pytest.mark.parametrize("ckpt", ["host", "device"])
 @pytest.mark.parametrize("resident", [0, 1])
-def test_trunk_lora_grads_match(resident, ckpt):
+def test_trunk_lora_grads_match(resident, ckpt, sub_remat):
     cfg, params, _, _, lat, ts, ctx, target, _ = _setup(False)
     lora = init_lora(jax.random.PRNGKey(7), params,
                      rank=4, targets=("blocks.self_attn.q", "blocks.ffn.fc1"))
@@ -73,7 +74,8 @@ def test_trunk_lora_grads_match(resident, ckpt):
                                 resident_blocks=resident, prefetch_depth=2)
     # segment=1 puts a boundary at every item (degenerate sqrt-ckpt);
     # the tiny 2-block schedule also exercises the partial last segment
-    trainer = StreamingTrainer(streamer, activation_ckpt=ckpt, segment=1)
+    trainer = StreamingTrainer(streamer, activation_ckpt=ckpt, segment=1,
+                               sub_remat=sub_remat)
     loss, g_trunk, _ = trainer.loss_and_grads(lat, ts, ctx, target,
                                               trunk_lora=lora)
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)

@@ -187,7 +187,7 @@ def measure(args):
     out["branches_per_pass"] = args.batch  # merged batch-2 covers both CFG branches
 
     # ---------------- stage 1: umT5-xxl encode (measured) ----------------
-    if not args.tiny:
+    if not args.tiny and not args.train_only:
         from video_styler_tpu.models.t5 import UMT5_XXL, init_t5, t5_encode
         t5c = UMT5_XXL
         t5p = init_t5(jax.random.PRNGKey(0), t5c, dtype=jnp.bfloat16)
@@ -204,7 +204,7 @@ def measure(args):
         del t5p; gc.collect()
 
     # ---------------- stage 2: VAE encode x2 + decode (measured) ---------
-    if not args.tiny:
+    if not args.tiny and not args.train_only:
         import video_styler_tpu.models.wan_vae as V
         vaec = V.WAN21_VAE
         vaep = jax.tree_util.tree_map(
@@ -242,12 +242,6 @@ def measure(args):
         out["quantized_attention"] = True
     dit_host, vace_host = build_host_dit(cfg, vcfg, qmode,
                                          alias=not args.full_store)
-    streamer = WanBlockStreamer(
-        dit_host, cfg, vace_host, vcfg, mode=qmode,
-        resident_blocks=args.resident, prefetch_depth=args.prefetch,
-        num_streams=args.streams)
-    out[f"plan_{qmode}"] = streamer.plan_summary()
-    _log(f"plan: {out[f'plan_{qmode}']}")
 
     lat = jax.random.normal(jax.random.PRNGKey(2), lat_shape, jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(3), ctx_shape, jnp.bfloat16)
@@ -255,35 +249,46 @@ def measure(args):
                              (lat_shape[0], 96) + lat_shape[2:], jnp.bfloat16)
     ts = jnp.asarray([800.0], jnp.float32)
 
-    t0 = time.perf_counter()
-    v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
-    _sync(v)
-    # warm the Euler-update graph too: it otherwise compiles inside the
-    # timed loop at the first step boundary (a ~2 s hit on ONE pass —
-    # every prior run shows exactly one 11.4 s outlier at step 1 branch 0)
-    _sync((lat - 0.02 * v).astype(jnp.bfloat16))
-    out[f"{qmode}_pass_compile_s"] = time.perf_counter() - t0
-    _log(f"{qmode} warmup (compile) {out[f'{qmode}_pass_compile_s']:.0f}s")
-    _mem(out, f"{qmode}_after_warmup")
-    save()
+    streamer = v = step_lat = None
+    if not args.train_only:
+        streamer = WanBlockStreamer(
+            dit_host, cfg, vace_host, vcfg, mode=qmode,
+            resident_blocks=args.resident, prefetch_depth=args.prefetch,
+            num_streams=args.streams)
+        out[f"plan_{qmode}"] = streamer.plan_summary()
+        _log(f"plan: {out[f'plan_{qmode}']}")
 
-    pass_times = []
-    step_lat = lat
-    t_recipe0 = time.perf_counter()
-    for step in range(args.steps):
-        for branch in range(branch_passes):
-            t0 = time.perf_counter()
-            v, _, _ = streamer.forward(step_lat, ts, ctx, vace_context=vctx)
-            _sync(v)
-            pass_times.append(time.perf_counter() - t0)
-            _log(f"step {step} branch {branch}: {pass_times[-1]:.1f}s")
-        # Euler step (posi branch drives; timing-neutral)
-        step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
-    out[f"{qmode}_denoise_s"] = time.perf_counter() - t_recipe0
-    out[f"{qmode}_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
-    out[f"{qmode}_pass_times"] = pass_times
-    _mem(out, f"{qmode}_after_denoise")
-    save()
+        t0 = time.perf_counter()
+        v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
+        _sync(v)
+        # warm the Euler-update graph too: it otherwise compiles inside the
+        # timed loop at the first step boundary (a ~2 s hit on ONE pass —
+        # every prior run shows exactly one 11.4 s outlier at step 1 branch 0)
+        _sync((lat - 0.02 * v).astype(jnp.bfloat16))
+        out[f"{qmode}_pass_compile_s"] = time.perf_counter() - t0
+        _log(f"{qmode} warmup (compile) "
+             f"{out[f'{qmode}_pass_compile_s']:.0f}s")
+        _mem(out, f"{qmode}_after_warmup")
+        save()
+
+        pass_times = []
+        step_lat = lat
+        t_recipe0 = time.perf_counter()
+        for step in range(args.steps):
+            for branch in range(branch_passes):
+                t0 = time.perf_counter()
+                v, _, _ = streamer.forward(step_lat, ts, ctx,
+                                           vace_context=vctx)
+                _sync(v)
+                pass_times.append(time.perf_counter() - t0)
+                _log(f"step {step} branch {branch}: {pass_times[-1]:.1f}s")
+            # Euler step (posi branch drives; timing-neutral)
+            step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
+        out[f"{qmode}_denoise_s"] = time.perf_counter() - t_recipe0
+        out[f"{qmode}_pass_s"] = sorted(pass_times)[len(pass_times) // 2]
+        out[f"{qmode}_pass_times"] = pass_times
+        _mem(out, f"{qmode}_after_denoise")
+        save()
 
     # ------------ stage 3b: measured streaming LoRA train step -----------
     # The Ditto recipe at 14B-block scale (train.sh: VACE LoRA r128,
@@ -298,16 +303,16 @@ def measure(args):
             set_quantized_attention(False)
         from video_styler_tpu.trainers.lora_train import init_lora
         from video_styler_tpu.trainers.streaming_train import StreamingTrainer
-        # training needs HBM for the per-block vjp residuals (weights +
-        # activations + flash-bwd workspace, ~5 GB): release the resident
-        # inference stack and re-stream every block from host instead —
+        # training needs HBM for the per-block vjp residuals and (in the
+        # default device-checkpoint mode) the boundary stash: release the
+        # resident inference stack and re-stream every block from host —
         # the backward's whole design point (fwd+bwd each re-stream
         # ~180 MB/block, fully overlapped with ~1 s/block of compute)
         del streamer, v, step_lat
         gc.collect()
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
-            resident_blocks=0, prefetch_depth=args.prefetch,
+            resident_blocks=0, prefetch_depth=min(args.prefetch, 2),
             num_streams=args.streams)
         lat1, ctx1, vctx1 = lat[:1], ctx[:1], vctx[:1]
         target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
@@ -327,13 +332,22 @@ def measure(args):
                                        "blocks.ffn.fc1",
                                        "blocks.ffn.fc2"),
                               dtype=jnp.bfloat16)
-        trainer = StreamingTrainer(streamer)
+        # activation_ckpt="device" (sqrt checkpointing, zero D2H): the
+        # host-offload mode measured 1118 s on this tunnel because its
+        # 48 x 304 MB boundary readbacks ran at the link's ~15-20 MB/s
+        # D2H rate; the boundary stash + sub-remat'd per-block vjp fit
+        # HBM beside the streamed weights (~10-11 GB peak)
+        trainer = StreamingTrainer(streamer, activation_ckpt=args.act_ckpt,
+                                   segment=args.segment)
+        out["train_act_ckpt"] = args.act_ckpt
+        out["train_segment"] = args.segment
         t0 = time.perf_counter()
         loss, _, g = trainer.loss_and_grads(
             lat1, ts, ctx1, target, vace_context=vctx1, vace_lora=vace_lora)
         _sync(g["blocks.self_attn.q"]["A"])
         out["train_step_compile_s"] = time.perf_counter() - t0
         _log(f"train warmup (compile) {out['train_step_compile_s']:.0f}s")
+        _mem(out, "train_after_warmup")
         t0 = time.perf_counter()
         loss, _, g = trainer.loss_and_grads(
             lat1, ts, ctx1, target, vace_context=vctx1, vace_lora=vace_lora)
@@ -451,6 +465,16 @@ def main():
                          "sageattention analog)")
     ap.add_argument("--train-step", action="store_true", default=True)
     ap.add_argument("--skip-train", dest="train_step", action="store_false")
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip the T5/VAE/denoise stages; measure only the "
+                         "streaming LoRA train step")
+    ap.add_argument("--act-ckpt", default="device",
+                    choices=["auto", "device", "host"],
+                    help="train-step boundary activations: keep every k-th "
+                         "on device (sqrt ckpt, zero D2H — default) or "
+                         "offload all to host RAM")
+    ap.add_argument("--segment", type=int, default=8,
+                    help="device-ckpt segment length k")
     # True tunnel bandwidth is ~20-40 MB/s (docs/PERF_NOTES_r3.md): a
     # 32 GB bf16 streamed pass is ~15-25 min, so it is opt-in now.
     ap.add_argument("--skip-bf16", action="store_true", default=True)
