@@ -173,12 +173,18 @@ def test_bf16_mode_casts_f32_checkpoint():
     params = init_wan_dit(jax.random.PRNGKey(0), cfg)  # f32
     streamer = WanBlockStreamer(params, cfg, mode="bf16",
                                 resident_blocks=0, prefetch_depth=1)
-    leaves = jax.tree_util.tree_leaves(streamer.streamed_host[0])
-    float_leaves = [leaf for leaf in leaves
-                    if leaf.dtype == ml_dtypes.bfloat16
-                    or np.issubdtype(leaf.dtype, np.floating)]
-    assert float_leaves
-    assert all(leaf.dtype == ml_dtypes.bfloat16 for leaf in float_leaves)
+    from video_styler_tpu.parallel.streaming import PackedBlock
+    blk = streamer.streamed_host[0]
+    if isinstance(blk, PackedBlock):
+        dtypes = [np.dtype(dt) for _, _, dt in blk.spec]
+    else:
+        dtypes = [leaf.dtype
+                  for leaf in jax.tree_util.tree_leaves(blk)]
+    float_dtypes = [dt for dt in dtypes
+                    if dt == ml_dtypes.bfloat16
+                    or np.issubdtype(dt, np.floating)]
+    assert float_dtypes
+    assert all(dt == ml_dtypes.bfloat16 for dt in float_dtypes)
     # and the cast path's forward stays within bf16 tolerance of the f32
     # reference (values match; only rounding points differ)
     lat, ts, ctx = _tiny_inputs(jax.random.PRNGKey(1), cfg)
@@ -187,3 +193,52 @@ def test_bf16_mode_casts_f32_checkpoint():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.05)
+    # REGRESSION: bf16 latents against an f32 checkpoint. Before small/
+    # vace_small were cast to compute dtype this promoted the block-scan
+    # carry to f32 mid-walk (scan carry dtype error on the real chip).
+    out_b, _, _ = streamer.forward(lat.astype(jnp.bfloat16), ts,
+                                   ctx.astype(jnp.bfloat16))
+    assert out_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_packed_block_roundtrip_and_alias_dedup():
+    """pack_host_block -> one device_put -> on-device unpack is bit-exact
+    for the store's dtype mix (int8 payload, f32 scales, bf16 bias), and
+    the pack cache deduplicates broadcast-aliased block slices."""
+    import ml_dtypes
+    from video_styler_tpu.parallel.streaming import (
+        MultiStreamLoader, PackedBlock, pack_host_block, tree_bytes)
+    rng = np.random.default_rng(0)
+    tree = {
+        "lin": {"w_q": rng.integers(-127, 128, (1, 96, 160), dtype=np.int8),
+                "w_scale": rng.random((1, 1, 160), dtype=np.float32),
+                "b": (rng.random((1, 160), dtype=np.float32) - 0.5
+                      ).astype(ml_dtypes.bfloat16)},
+        "norm": {"scale": rng.random((1, 96), dtype=np.float32)},
+    }
+    packed = pack_host_block(tree)
+    assert isinstance(packed, PackedBlock)
+    assert tree_bytes(packed) >= tree_bytes(tree)  # alignment padding only
+    out = MultiStreamLoader().put(packed).get()
+    ref_leaves, ref_def = jax.tree_util.tree_flatten(tree)
+    out_leaves, out_def = jax.tree_util.tree_flatten(out)
+    assert ref_def == out_def
+    for r, o in zip(ref_leaves, out_leaves):
+        assert str(r.dtype) == str(np.asarray(o).dtype)
+        np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                      np.asarray(o, np.float32))
+
+    # broadcast-aliased slices (bench alias store) pack ONCE
+    one = rng.random((4, 8), dtype=np.float32)
+    stacked = np.broadcast_to(one, (6, 4, 8))
+    cache = {}
+    p0 = pack_host_block({"w": stacked[0:1]}, cache=cache)
+    p1 = pack_host_block({"w": stacked[3:4]}, cache=cache)
+    assert p0 is p1
+    # distinct data must NOT dedup
+    other = np.array(stacked[0:1])
+    p2 = pack_host_block({"w": other}, cache=cache)
+    assert p2 is not p0

@@ -36,7 +36,7 @@ from ..ops.basic import linear
 from ..ops.rope import assemble_freqs_grid
 from ..parallel.streaming import (
     MultiStreamLoader, PrefetchQueue, host_quantize_int4, host_quantize_int8,
-    split_host_blocks, tree_bytes, tree_to_host,
+    pack_host_block, split_host_blocks, tree_bytes, tree_to_host,
 )
 from . import wan_dit as M
 from .wan_dit import WanDiTConfig
@@ -79,7 +79,7 @@ class WanBlockStreamer:
                  resident_blocks: Optional[int] = None,
                  prefetch_depth: int = 3, num_streams: int = 8,
                  device=None, quant_min_size: int = 1 << 16,
-                 quant_min_dim: int = 128):
+                 quant_min_dim: int = 128, packed: bool = True):
         if mode not in ("int4", "int8", "bf16", "f32"):
             raise ValueError(f"unsupported streaming mode {mode!r}")
         self.cfg = cfg
@@ -103,6 +103,14 @@ class WanBlockStreamer:
             # (jit-vs-eager rounding points differ at bf16 precision).
             "f32": lambda t: t}[mode]
         small = {k: v for k, v in dit_params.items() if k != "blocks"}
+        if mode == "bf16":
+            # the cast mode casts small too: small params drive t_mod/ctx/
+            # tokens, and left at a checkpoint's f32 they promote the block
+            # scan carry to f32 mid-walk (scan carry dtype error on chip)
+            # and double the modulation FLOPs. Quantized/f32 modes keep the
+            # checkpoint dtype — exact machinery parity with the resident
+            # quantize_params path.
+            small = _host_bf16(_to_host_np(small))
         blocks_host = _to_host_np(dit_params["blocks"])
         blocks_host = quantize(blocks_host)
         n = jax.tree_util.tree_leaves(blocks_host)[0].shape[0]
@@ -115,6 +123,8 @@ class WanBlockStreamer:
         if vace_params is not None:
             vace_small = {k: v for k, v in vace_params.items()
                           if k not in ("blocks", "after_proj")}
+            if mode == "bf16":
+                vace_small = _host_bf16(_to_host_np(vace_small))
             vace_blocks_host = _to_host_np(
                 {"block": vace_params["blocks"],
                  "after": vace_params["after_proj"]})
@@ -151,11 +161,25 @@ class WanBlockStreamer:
             bounds += [j + 1 for j in vace_cfg.vace_layers
                        if 0 < j + 1 < resident_blocks]
         self._seg_bounds = sorted(set(b for b in bounds if b >= 0))
+        # packed transfers: every host->device put of a block tree goes as
+        # ONE contiguous buffer (the link's fixed per-put cost dominates
+        # multi-leaf trees — see PackedBlock). The cache deduplicates the
+        # slices of broadcast-aliased bench stores.
+        pack_cache: Dict[Any, Any] = {}
+
+        def _put1(tree):
+            if packed:
+                tree = pack_host_block(tree, cache=pack_cache)
+            return self.loader.put(tree)
+
         self.resident_segs: List[Tuple[int, int, Any]] = []
         for a, b in zip(self._seg_bounds[:-1], self._seg_bounds[1:]):
             seg_host = jax.tree_util.tree_map(lambda x: x[a:b], blocks_host)
-            self.resident_segs.append((a, b, self.loader.put(seg_host).get()))
+            self.resident_segs.append((a, b, _put1(seg_host).get()))
         self.streamed_host = split_host_blocks(blocks_host, resident_blocks, n)
+        if packed:
+            self.streamed_host = [pack_host_block(b, cache=pack_cache)
+                                  for b in self.streamed_host]
 
         self.vace_resident_blocks = None
         self.vace_streamed_host = None
@@ -169,12 +193,16 @@ class WanBlockStreamer:
                 # time, so there is no reason to keep them stacked (slicing
                 # a stacked tree on device copies)
                 self.vace_resident_blocks = [
-                    self.loader.put(jax.tree_util.tree_map(
+                    _put1(jax.tree_util.tree_map(
                         lambda x: x[i:i + 1], vace_blocks_host)).get()
                     for i in range(self.num_vace)]
             else:
                 self.vace_streamed_host = split_host_blocks(
                     vace_blocks_host, 0, self.num_vace)
+                if packed:
+                    self.vace_streamed_host = [
+                        pack_host_block(b, cache=pack_cache)
+                        for b in self.vace_streamed_host]
 
     # ------------------------------------------------------------------
     # walk schedule

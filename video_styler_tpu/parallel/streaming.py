@@ -33,12 +33,14 @@ import jax.numpy as jnp
 
 __all__ = [
     "tree_bytes", "tree_to_host", "host_quantize_int8", "host_quantize_int4",
-    "MultiStreamLoader",
+    "MultiStreamLoader", "PackedBlock", "pack_host_block",
     "PrefetchQueue", "split_host_blocks",
 ]
 
 
 def tree_bytes(tree) -> int:
+    if isinstance(tree, PackedBlock):
+        return tree.buf.nbytes
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
 
 
@@ -132,12 +134,90 @@ def split_host_blocks(stacked_host, start: int, stop: int) -> List[Any]:
     return out
 
 
+class PackedBlock:
+    """A host param pytree flattened into ONE contiguous uint8 buffer.
+
+    The tunnel/PCIe link pays a fixed per-`device_put` cost that dominates
+    multi-leaf block trees (measured on this host: a 352 MB / 37-leaf int8
+    block moves at ~57 MB/s leaf-by-leaf but ~390 MB/s as one buffer —
+    tools/probe_put_latency.py; concurrent streams HURT on the current
+    tunnel). Packing transfers each block as a single put and unpacks on
+    device with a jitted static-slice + bitcast (an HBM-internal copy,
+    ~0.25 ms per 178 MB block — noise next to the wire time).
+    """
+
+    __slots__ = ("buf", "treedef", "spec")
+
+    def __init__(self, buf: np.ndarray, treedef, spec: Tuple):
+        self.buf = buf          # np.uint8 (N,)
+        self.treedef = treedef
+        self.spec = spec        # ((offset, shape, dtype_str), ...)
+
+
+def pack_host_block(tree, align: int = 512,
+                    cache: Optional[Dict] = None) -> PackedBlock:
+    """Flatten a host pytree into a PackedBlock.
+
+    `cache` deduplicates by underlying data pointers: block slices of a
+    broadcast-aliased host store (bench alias mode) all map to the SAME
+    physical bytes, and packing each of the 40 aliased slices would
+    otherwise materialize 40 real copies through this VM's ~10 MB/s
+    first-touch pages."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    leaves = [np.asarray(x) for x in leaves]
+    if cache is not None:
+        key = tuple((x.__array_interface__["data"][0], x.shape, str(x.dtype))
+                    for x in leaves)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    spec, off = [], 0
+    for x in leaves:
+        nb = x.size * x.dtype.itemsize
+        off = (off + align - 1) // align * align
+        spec.append((off, x.shape, str(x.dtype)))
+        off += nb
+    buf = np.zeros(off, np.uint8)
+    for x, (o, _, _) in zip(leaves, spec):
+        nb = x.size * x.dtype.itemsize
+        buf[o:o + nb] = np.ascontiguousarray(x).view(np.uint8).reshape(-1)
+    out = PackedBlock(buf, treedef, tuple(spec))
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+_UNPACK_JITS: Dict[Tuple, Any] = {}
+
+
+def _unpack_fn(treedef, spec):
+    key = (treedef, spec)
+    if key not in _UNPACK_JITS:
+        def unpack(buf):
+            leaves = []
+            for off, shape, dt in spec:
+                dt = np.dtype(dt)
+                n = 1
+                for s in shape:
+                    n *= s
+                nb = n * dt.itemsize
+                seg = jax.lax.slice(buf, (off,), (off + nb,))
+                if dt.itemsize > 1:
+                    seg = seg.reshape(nb // dt.itemsize, dt.itemsize)
+                leaves.append(
+                    jax.lax.bitcast_convert_type(seg, dt).reshape(shape))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+        _UNPACK_JITS[key] = jax.jit(unpack)
+    return _UNPACK_JITS[key]
+
+
 class MultiStreamLoader:
     """Async host->device pytree transfer over a thread pool.
 
     `put(tree)` returns a PendingTree; `.get()` blocks until every leaf is on
     device. Leaves above `chunk_bytes` are split along axis 0 (when it has
-    more than one element) and concatenated back on device.
+    more than one element) and concatenated back on device. A PackedBlock
+    transfers as ONE device_put and unpacks on device at `.get()`.
     """
 
     def __init__(self, device=None, num_streams: int = 8,
@@ -156,25 +236,36 @@ class MultiStreamLoader:
         return "whole", [self.pool.submit(jax.device_put, leaf, self.device)]
 
     def put(self, tree) -> "PendingTree":
+        if isinstance(tree, PackedBlock):
+            fut = self.pool.submit(jax.device_put, tree.buf, self.device)
+            return PendingTree(tree.treedef, [("packed", [fut])],
+                               spec=tree.spec)
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         pending = [self._put_leaf(np.asarray(x)) for x in leaves]
         return PendingTree(treedef, pending)
 
 
 class PendingTree:
-    def __init__(self, treedef, pending):
+    def __init__(self, treedef, pending, spec=None):
         self.treedef = treedef
         self.pending = pending
+        self.spec = spec
+        self._raw = None
         self._result = None
 
     def get(self):
         if self._result is None:
-            leaves = []
-            for kind, futs in self.pending:
-                parts = [f.result() for f in futs]
-                leaves.append(parts[0] if kind == "whole"
-                              else jnp.concatenate(parts, axis=0))
-            self._result = jax.tree_util.tree_unflatten(self.treedef, leaves)
+            if self.spec is not None:
+                self._raw = self.pending[0][1][0].result()
+                self._result = _unpack_fn(self.treedef, self.spec)(self._raw)
+            else:
+                leaves = []
+                for kind, futs in self.pending:
+                    parts = [f.result() for f in futs]
+                    leaves.append(parts[0] if kind == "whole"
+                                  else jnp.concatenate(parts, axis=0))
+                self._result = jax.tree_util.tree_unflatten(self.treedef,
+                                                            leaves)
             self.pending = None
         return self._result
 
@@ -188,6 +279,12 @@ class PendingTree:
                 except Exception:
                     pass
             self._result = None
+        if self._raw is not None:
+            try:
+                self._raw.delete()
+            except Exception:
+                pass
+            self._raw = None
 
 
 class PrefetchQueue:
