@@ -176,7 +176,7 @@ def test_bf16_mode_casts_f32_checkpoint():
     from video_styler_tpu.parallel.streaming import PackedBlock
     blk = streamer.streamed_host[0]
     if isinstance(blk, PackedBlock):
-        dtypes = [np.dtype(dt) for _, _, dt in blk.spec]
+        dtypes = [np.dtype(dt) for dt, _, _ in blk.spec]
     else:
         dtypes = [leaf.dtype
                   for leaf in jax.tree_util.tree_leaves(blk)]
@@ -221,7 +221,8 @@ def test_packed_block_roundtrip_and_alias_dedup():
     }
     packed = pack_host_block(tree)
     assert isinstance(packed, PackedBlock)
-    assert tree_bytes(packed) >= tree_bytes(tree)  # alignment padding only
+    assert tree_bytes(packed) == tree_bytes(tree)
+    assert len(packed.bufs) == 3  # one flat buffer per dtype, not per leaf
     out = MultiStreamLoader().put(packed).get()
     ref_leaves, ref_def = jax.tree_util.tree_flatten(tree)
     out_leaves, out_def = jax.tree_util.tree_flatten(out)
@@ -242,3 +243,28 @@ def test_packed_block_roundtrip_and_alias_dedup():
     other = np.array(stacked[0:1])
     p2 = pack_host_block({"w": other}, cache=cache)
     assert p2 is not p0
+
+
+def test_serial_walk_matches_overlap():
+    """overlap=False (gated serial walk for DMA-starving links) must be a
+    pure scheduling change: outputs identical to the overlapped walk."""
+    from video_styler_tpu.models.wan_vace import VaceConfig
+    from video_styler_tpu.models.wan_vace import init_vace as _init_vace
+    cfg = WAN_DIT_TINY
+    vcfg = VaceConfig(vace_layers=(0, 1), dim=cfg.dim,
+                      num_heads=cfg.num_heads, ffn_dim=cfg.ffn_dim,
+                      vace_in_dim=96)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg)
+    vace_params = _init_vace(jax.random.PRNGKey(7), vcfg)
+    lat, ts, ctx = _tiny_inputs(jax.random.PRNGKey(1), cfg)
+    vctx = jax.random.normal(jax.random.PRNGKey(2), (1, 96, 2, 8, 8),
+                             jnp.float32)
+    outs = []
+    for overlap in (True, False):
+        st = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="f32",
+                              resident_blocks=0, prefetch_depth=2,
+                              overlap=overlap)
+        out, _, _ = st.forward(lat, ts, ctx, vace_context=vctx,
+                               vace_scale=0.7)
+        outs.append(np.asarray(out))
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -186,3 +186,37 @@ def test_quantized_base_lora_grads_match_dequant_reference(mode):
             np.testing.assert_allclose(
                 np.asarray(g_vace[path][f]), np.asarray(want_g[path][f]),
                 rtol=5e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("ckpt", ["host", "device"])
+def test_serial_walk_grads_match(ckpt):
+    """overlap=False gated walks through fwd + both reverse modes: the
+    gradients must equal resident autodiff exactly like the overlapped
+    trainer (scheduling-only change)."""
+    cfg, params, vcfg, vace_params, lat, ts, ctx, target, vctx = _setup(True)
+    vace_lora = init_lora(jax.random.PRNGKey(9), vace_params,
+                          rank=4, targets=("blocks.self_attn.q",
+                                           "blocks.ffn.fc2"))
+    vace_lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(10),
+                                               x.shape), vace_lora)
+    want_loss, want_g = jax.value_and_grad(
+        lambda l: _ref_loss(params, cfg, None, lat, ts, ctx, target,
+                            vace_params=vace_params, vcfg=vcfg, vctx=vctx,
+                            vace_lora=l))(vace_lora)
+    streamer = WanBlockStreamer(params, cfg, vace_params, vcfg, mode="f32",
+                                resident_blocks=0, prefetch_depth=2,
+                                overlap=False)
+    trainer = StreamingTrainer(streamer, activation_ckpt=ckpt, segment=3)
+    loss, _, g_vace = trainer.loss_and_grads(lat, ts, ctx, target,
+                                             vace_context=vctx,
+                                             vace_scale=0.7,
+                                             vace_lora=vace_lora)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for path in vace_lora:
+        np.testing.assert_allclose(np.asarray(g_vace[path]["A"]),
+                                   np.asarray(want_g[path]["A"]),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_vace[path]["B"]),
+                                   np.asarray(want_g[path]["B"]),
+                                   rtol=2e-4, atol=1e-6)

@@ -254,7 +254,7 @@ def measure(args):
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
             resident_blocks=args.resident, prefetch_depth=args.prefetch,
-            num_streams=args.streams)
+            num_streams=args.streams, overlap=not args.serial)
         out[f"plan_{qmode}"] = streamer.plan_summary()
         _log(f"plan: {out[f'plan_{qmode}']}")
 
@@ -313,7 +313,7 @@ def measure(args):
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
             resident_blocks=0, prefetch_depth=min(args.prefetch, 2),
-            num_streams=args.streams)
+            num_streams=args.streams, overlap=not args.serial)
         lat1, ctx1, vctx1 = lat[:1], ctx[:1], vctx[:1]
         target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
                                    jnp.bfloat16)
@@ -376,7 +376,7 @@ def measure(args):
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode="bf16",
             resident_blocks=args.resident_bf16, prefetch_depth=args.prefetch,
-            num_streams=args.streams)
+            num_streams=args.streams, overlap=not args.serial)
         out["plan_bf16"] = streamer.plan_summary()
         t0 = time.perf_counter()
         v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
@@ -454,6 +454,12 @@ def main():
     ap.add_argument("--resident-bf16", type=int, default=0)
     ap.add_argument("--prefetch", type=int, default=3)
     ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--serial", action="store_true",
+                    help="serial (gated) walk: alternate transfer and "
+                         "compute instead of overlapping — the right mode "
+                         "on links whose DMA starves under concurrent "
+                         "execution (this tunnel: 1.5 GB/s idle vs "
+                         "~45 MB/s overlapped)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=1, choices=[1, 2],
                     help="1 = CFG branches as separate passes (default; "

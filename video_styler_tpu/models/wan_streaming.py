@@ -79,9 +79,15 @@ class WanBlockStreamer:
                  resident_blocks: Optional[int] = None,
                  prefetch_depth: int = 3, num_streams: int = 8,
                  device=None, quant_min_size: int = 1 << 16,
-                 quant_min_dim: int = 128, packed: bool = True):
+                 quant_min_dim: int = 128, packed: bool = True,
+                 overlap: bool = True):
         if mode not in ("int4", "int8", "bf16", "f32"):
             raise ValueError(f"unsupported streaming mode {mode!r}")
+        # overlap=False: serial walk for links whose host->device DMA starves
+        # under concurrent kernel execution (see PrefetchQueue gated mode) —
+        # each transfer waits for the previous block's compute, trading the
+        # (hidden-on-PCIe) overlap for full link bandwidth.
+        self.overlap = overlap
         self.cfg = cfg
         self.vace_cfg = vace_cfg
         self.mode = mode
@@ -168,7 +174,11 @@ class WanBlockStreamer:
         pack_cache: Dict[Any, Any] = {}
 
         def _put1(tree):
-            if packed:
+            # the on-device unpack transiently holds input+output (the
+            # input buffers are donated but can only be freed after their
+            # last read) — fine for per-block trees, a 2x-HBM OOM for a
+            # multi-GB resident segment. Big one-time uploads go unpacked.
+            if packed and tree_bytes(tree) < (1 << 31):
                 tree = pack_host_block(tree, cache=pack_cache)
             return self.loader.put(tree)
 
@@ -309,6 +319,19 @@ class WanBlockStreamer:
         return self._jit("vace_block", fn, donate_argnums=(1,))(
             vb, c, ctx, t_mod, cos, sin)
 
+    def _force(self, x):
+        """Materialize one element of a dispatched result — orders the host
+        after device completion. (block_until_ready does not round-trip
+        through remote-tunnel backends; one element costs one ~40 ms RTT.)"""
+        np.asarray(x[(0,) * x.ndim])
+
+    def _serial_sync(self, queue, out):
+        """Serial-walk step: force `out`, then let the queue start the next
+        transfer against the now-idle device. No-op in overlap mode."""
+        if queue is not None and not self.overlap:
+            self._force(out)
+            queue.refill()
+
     def _inject(self, x, hint, scale):
         def fn(x, hint, scale):
             # keep x.dtype: a strong-f32 scale would promote the trunk
@@ -355,7 +378,8 @@ class WanBlockStreamer:
                 host_items.append(self.streamed_host[idx - self.resident_blocks])
             elif kind == "vace" and self.vace_streamed_host is not None:
                 host_items.append(self.vace_streamed_host[idx])
-        queue = (PrefetchQueue(host_items, self.loader, self.prefetch_depth)
+        queue = (PrefetchQueue(host_items, self.loader, self.prefetch_depth,
+                               gated=not self.overlap)
                  if host_items else None)
 
         x = tokens
@@ -378,6 +402,7 @@ class WanBlockStreamer:
                 pending, block = queue.pop()
                 x = self._run_block(block, x, ctx, t_mod, cos, sin)
                 pending.delete()
+                self._serial_sync(queue, x)
             else:  # vace
                 if self.vace_resident_blocks is not None:
                     vb = self.vace_resident_blocks[idx]
@@ -387,6 +412,7 @@ class WanBlockStreamer:
                     c, hint = self._run_vace_block(vb, c, ctx, t_mod, cos, sin)
                     pending.delete()
                 x = self._inject(x, hint, vace_scale)
+                self._serial_sync(queue, x)
             si += 1
 
         residual = None

@@ -40,7 +40,7 @@ __all__ = [
 
 def tree_bytes(tree) -> int:
     if isinstance(tree, PackedBlock):
-        return tree.buf.nbytes
+        return sum(b.nbytes for b in tree.bufs.values())
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
 
 
@@ -135,27 +135,36 @@ def split_host_blocks(stacked_host, start: int, stop: int) -> List[Any]:
 
 
 class PackedBlock:
-    """A host param pytree flattened into ONE contiguous uint8 buffer.
+    """A host param pytree coalesced into one flat 1-D buffer PER DTYPE.
 
     The tunnel/PCIe link pays a fixed per-`device_put` cost that dominates
     multi-leaf block trees (measured on this host: a 352 MB / 37-leaf int8
-    block moves at ~57 MB/s leaf-by-leaf but ~390 MB/s as one buffer —
+    block moves at ~57 MB/s leaf-by-leaf but ~390 MB/s coalesced —
     tools/probe_put_latency.py; concurrent streams HURT on the current
-    tunnel). Packing transfers each block as a single put and unpacks on
-    device with a jitted static-slice + bitcast (an HBM-internal copy,
-    ~0.25 ms per 178 MB block — noise next to the wire time).
+    tunnel). Packing transfers each block as one put per distinct dtype
+    (int8 payload / f32 scales / bf16 bias -> 3 puts instead of 37) and
+    unpacks on device with a jitted 1-D slice + reshape per leaf.
+
+    Per-dtype — not one uint8 blob — for two load-bearing reasons:
+      * unpacking a uint8 blob needs bitcast_convert_type through an
+        (N, itemsize) intermediate, and the TPU tile-pads that trailing
+        dim 4 to 128: a 0.9 GB f32 group inflates to a 28 GB allocation
+        at compile time (observed OOM on the 14B resident segment).
+        1-D slices of a same-dtype buffer need no bitcast and no padding.
+      * the wire compresses typed streams differently (bf16 weight
+        streams move ~3x faster than incompressible int8 here); mixing
+        dtypes into one blob destroys that.
     """
 
-    __slots__ = ("buf", "treedef", "spec")
+    __slots__ = ("bufs", "treedef", "spec")
 
-    def __init__(self, buf: np.ndarray, treedef, spec: Tuple):
-        self.buf = buf          # np.uint8 (N,)
+    def __init__(self, bufs: Dict[str, np.ndarray], treedef, spec: Tuple):
+        self.bufs = bufs        # {dtype_str: flat 1-D np array}
         self.treedef = treedef
-        self.spec = spec        # ((offset, shape, dtype_str), ...)
+        self.spec = spec        # ((dtype_str, offset_elems, shape), ...)
 
 
-def pack_host_block(tree, align: int = 512,
-                    cache: Optional[Dict] = None) -> PackedBlock:
+def pack_host_block(tree, cache: Optional[Dict] = None) -> PackedBlock:
     """Flatten a host pytree into a PackedBlock.
 
     `cache` deduplicates by underlying data pointers: block slices of a
@@ -171,17 +180,17 @@ def pack_host_block(tree, align: int = 512,
         hit = cache.get(key)
         if hit is not None:
             return hit
-    spec, off = [], 0
+    offs: Dict[str, int] = {}
+    spec = []
     for x in leaves:
-        nb = x.size * x.dtype.itemsize
-        off = (off + align - 1) // align * align
-        spec.append((off, x.shape, str(x.dtype)))
-        off += nb
-    buf = np.zeros(off, np.uint8)
-    for x, (o, _, _) in zip(leaves, spec):
-        nb = x.size * x.dtype.itemsize
-        buf[o:o + nb] = np.ascontiguousarray(x).view(np.uint8).reshape(-1)
-    out = PackedBlock(buf, treedef, tuple(spec))
+        dt = str(x.dtype)
+        off = offs.get(dt, 0)
+        spec.append((dt, off, x.shape))
+        offs[dt] = off + x.size
+    bufs = {dt: np.empty(n, np.dtype(dt)) for dt, n in offs.items()}
+    for x, (dt, off, _) in zip(leaves, spec):
+        bufs[dt][off:off + x.size] = np.ascontiguousarray(x).reshape(-1)
+    out = PackedBlock(bufs, treedef, tuple(spec))
     if cache is not None:
         cache[key] = out
     return out
@@ -190,24 +199,24 @@ def pack_host_block(tree, align: int = 512,
 _UNPACK_JITS: Dict[Tuple, Any] = {}
 
 
-def _unpack_fn(treedef, spec):
-    key = (treedef, spec)
+def _unpack_fn(treedef, spec, buf_dtypes: Tuple[str, ...]):
+    key = (treedef, spec, buf_dtypes)
     if key not in _UNPACK_JITS:
-        def unpack(buf):
+        def unpack(*flat_bufs):
+            bufs = dict(zip(buf_dtypes, flat_bufs))
             leaves = []
-            for off, shape, dt in spec:
-                dt = np.dtype(dt)
+            for dt, off, shape in spec:
                 n = 1
                 for s in shape:
                     n *= s
-                nb = n * dt.itemsize
-                seg = jax.lax.slice(buf, (off,), (off + nb,))
-                if dt.itemsize > 1:
-                    seg = seg.reshape(nb // dt.itemsize, dt.itemsize)
                 leaves.append(
-                    jax.lax.bitcast_convert_type(seg, dt).reshape(shape))
+                    jax.lax.slice(bufs[dt], (off,), (off + n,)).reshape(shape))
             return jax.tree_util.tree_unflatten(treedef, leaves)
-        _UNPACK_JITS[key] = jax.jit(unpack)
+        # donate the flat buffers: the unpack is a relayout copy and the
+        # inputs are dead after it — without donation the block transiently
+        # costs 2x its HBM footprint
+        _UNPACK_JITS[key] = jax.jit(
+            unpack, donate_argnums=tuple(range(len(buf_dtypes))))
     return _UNPACK_JITS[key]
 
 
@@ -237,27 +246,31 @@ class MultiStreamLoader:
 
     def put(self, tree) -> "PendingTree":
         if isinstance(tree, PackedBlock):
-            fut = self.pool.submit(jax.device_put, tree.buf, self.device)
-            return PendingTree(tree.treedef, [("packed", [fut])],
-                               spec=tree.spec)
+            dts = tuple(tree.bufs.keys())
+            futs = [self.pool.submit(jax.device_put, tree.bufs[dt],
+                                     self.device) for dt in dts]
+            return PendingTree(tree.treedef, [("packed", futs)],
+                               spec=tree.spec, buf_dtypes=dts)
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         pending = [self._put_leaf(np.asarray(x)) for x in leaves]
         return PendingTree(treedef, pending)
 
 
 class PendingTree:
-    def __init__(self, treedef, pending, spec=None):
+    def __init__(self, treedef, pending, spec=None, buf_dtypes=None):
         self.treedef = treedef
         self.pending = pending
         self.spec = spec
+        self.buf_dtypes = buf_dtypes
         self._raw = None
         self._result = None
 
     def get(self):
         if self._result is None:
             if self.spec is not None:
-                self._raw = self.pending[0][1][0].result()
-                self._result = _unpack_fn(self.treedef, self.spec)(self._raw)
+                self._raw = [f.result() for f in self.pending[0][1]]
+                self._result = _unpack_fn(
+                    self.treedef, self.spec, self.buf_dtypes)(*self._raw)
             else:
                 leaves = []
                 for kind, futs in self.pending:
@@ -280,10 +293,11 @@ class PendingTree:
                     pass
             self._result = None
         if self._raw is not None:
-            try:
-                self._raw.delete()
-            except Exception:
-                pass
+            for r in self._raw:
+                try:
+                    r.delete()  # no-op post-get: donated into the unpack
+                except Exception:
+                    pass
             self._raw = None
 
 
@@ -292,16 +306,27 @@ class PrefetchQueue:
 
     Items are consumed strictly in the order of `host_items`; `pop()` returns
     the device pytree for the next item and tops the pipeline back up.
+
+    gated=True is the SERIAL-link mode: at most one transfer in flight, and
+    pop() does not auto-refill — the consumer calls refill() after forcing
+    its dispatched compute to completion, so every transfer runs against an
+    idle device. This is for links where DMA starves under concurrent
+    execution (the axon tunnel moves ~1.5 GB/s idle but ~45 MB/s while a
+    kernel runs — a streamed 14B bf16 pass measured 840 s overlapped vs
+    ~40 s serial). On PCIe/DMA hosts keep gated=False: overlap hides the
+    transfer entirely.
     """
 
     def __init__(self, host_items: Sequence[Any], loader: MultiStreamLoader,
-                 depth: int = 3):
+                 depth: int = 3, gated: bool = False):
         self.items = list(host_items)
         self.loader = loader
-        self.depth = depth
+        self.depth = 1 if gated else depth
+        self.gated = gated
         self.inflight: List[PendingTree] = []
         self.next_submit = 0
-        self._fill()
+        if not gated:
+            self._fill()
 
     def _fill(self):
         while (self.next_submit < len(self.items)
@@ -309,8 +334,14 @@ class PrefetchQueue:
             self.inflight.append(self.loader.put(self.items[self.next_submit]))
             self.next_submit += 1
 
+    def refill(self):
+        self._fill()
+
     def pop(self):
+        if not self.inflight:
+            self._fill()  # gated consumer that never refilled, or restart
         pending = self.inflight.pop(0)
         tree = pending.get()
-        self._fill()
+        if not self.gated:
+            self._fill()
         return pending, tree

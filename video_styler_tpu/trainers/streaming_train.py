@@ -368,6 +368,7 @@ class StreamingTrainer:
                 x = x + hint.astype(x.dtype) * vace_scale.astype(x.dtype)
             if pending is not None:
                 pending.delete()
+            s._serial_sync(fwd_queue, x)
             _drain(1)
         _drain(0)
 
@@ -407,6 +408,7 @@ class StreamingTrainer:
                                         x_in, ctx, t_mod, cos, sin, dx)
             if pending is not None:
                 pending.delete()
+            s._serial_sync(bwd_queue, dx)
             if dlora is not None:
                 trunk_grads[idx] = dlora
             del stash[si]
@@ -430,6 +432,7 @@ class StreamingTrainer:
                                             d_c, d_hints[i].astype(d_c.dtype))
                 if pending is not None:
                     pending.delete()
+                s._serial_sync(vrev_queue, d_c)
                 if dlora is not None:
                     vace_grads[i] = dlora
 
@@ -495,6 +498,7 @@ class StreamingTrainer:
                         x_r = self._block_fwd(
                             bp, _slice_lora(trunk_lora, idx), x_r,
                             ctx, t_mod, cos, sin)
+                        s._serial_sync(bwd_queue, x_r)
                 else:
                     inputs.append(c_r)
                     if j < last:
@@ -503,6 +507,7 @@ class StreamingTrainer:
                             ctx, t_mod, cos, sin)
                         x_r = x_r + hint.astype(x_r.dtype) * \
                             vace_scale.astype(x_r.dtype)
+                        s._serial_sync(bwd_queue, x_r)
             x_r = c_r = None
             for j in reversed(range(len(seg_items))):
                 kind, idx = seg_items[j]
@@ -524,6 +529,8 @@ class StreamingTrainer:
                         trunk_grads[idx] = dlora
                 if pending is not None:
                     pending.delete()
+                s._serial_sync(bwd_queue,
+                               dx if (kind == "trunk" or d_c is None) else d_c)
                 inputs[j] = None
                 seg_blocks[j] = (None, None)
 
@@ -544,7 +551,8 @@ class StreamingTrainer:
                 host_items.append(s.vace_streamed_host[idx])
         if not host_items:
             return None
-        return PrefetchQueue(host_items, s.loader, s.prefetch_depth)
+        return PrefetchQueue(host_items, s.loader, s.prefetch_depth,
+                             gated=not s.overlap)
 
     def _next_block(self, kind, idx, queue):
         """-> (device block tree, pending-or-None). Resident blocks come
