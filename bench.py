@@ -188,6 +188,18 @@ def bench_wan13b_step():
     return branch_ms
 
 
+def _artifact_value(key):
+    """Read one value from the committed measured artifact
+    (docs/artifacts_m14b_r3.json); None if absent."""
+    import os
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "artifacts_m14b_r3.json")) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
 def bench_measured_14b():
     """The MEASURED 14B path: run tools/measure_14b.py in a subprocess (its
     own TPU client; builds the real 48-block model via host block streaming
@@ -323,10 +335,22 @@ def main_measured(m, extra):
                   + 2 * m["t5_encode_ms"]) / 1e3
         extra["ditto14b_projected_video_s_v5p8"] = round(
             denoise_v5p8 + vae_t5, 1)
-    if m.get("bf16_pass_s"):
+    # bf16 full-quality grounding: prefer a bf16 pass measured in THIS run,
+    # else carry the committed measured one (bench runs with --skip-bf16 to
+    # stay inside the round-end budget; the artifact run used --serial so the
+    # streamed pass sees idle-link bandwidth)
+    bf16_pass = m.get("bf16_pass_s")
+    if not bf16_pass:
+        bf16_pass = (extra.get("prior_measured_bf16_pass_s")
+                     or _artifact_value("bf16_pass_s"))
+        if bf16_pass:
+            extra["prior_measured_bf16_pass_s"] = bf16_pass
+    if bf16_pass:
+        branches = m.get("branches_per_pass", 1)
+        vae_t5 = (2 * m["vae_encode_ms"] + m["vae_decode_ms"]
+                  + 2 * m["t5_encode_ms"]) / 1e3
         extra["ditto14b_bf16_50step_video_s_composed_from_measured_pass"] = \
-            round(m.get("bf16_50step_video_s_composed_from_measured_pass",
-                        50 * m["bf16_pass_s"]), 1)
+            round(50 * (2 // branches) * bf16_pass + vae_t5, 1)
     mode = next((k[:-len("_denoise_s")] for k in
                  ("int4_denoise_s", "int8_denoise_s", "bf16_denoise_s")
                  if k in m), "int4")
