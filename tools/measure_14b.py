@@ -187,7 +187,7 @@ def measure(args):
     out["branches_per_pass"] = args.batch  # merged batch-2 covers both CFG branches
 
     # ---------------- stage 1: umT5-xxl encode (measured) ----------------
-    if not args.tiny and not args.train_only:
+    if not args.tiny and not args.train_only and not args.bf16_only:
         from video_styler_tpu.models.t5 import UMT5_XXL, init_t5, t5_encode
         t5c = UMT5_XXL
         t5p = init_t5(jax.random.PRNGKey(0), t5c, dtype=jnp.bfloat16)
@@ -204,7 +204,7 @@ def measure(args):
         del t5p; gc.collect()
 
     # ---------------- stage 2: VAE encode x2 + decode (measured) ---------
-    if not args.tiny and not args.train_only:
+    if not args.tiny and not args.train_only and not args.bf16_only:
         import video_styler_tpu.models.wan_vae as V
         vaec = V.WAN21_VAE
         vaep = jax.tree_util.tree_map(
@@ -250,7 +250,7 @@ def measure(args):
     ts = jnp.asarray([800.0], jnp.float32)
 
     streamer = v = step_lat = None
-    if not args.train_only:
+    if not args.train_only and not args.bf16_only:
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
             resident_blocks=args.resident, prefetch_depth=args.prefetch,
@@ -484,10 +484,16 @@ def main():
     # True tunnel bandwidth is ~20-40 MB/s (docs/PERF_NOTES_r3.md): a
     # 32 GB bf16 streamed pass is ~15-25 min, so it is opt-in now.
     ap.add_argument("--skip-bf16", action="store_true", default=True)
+    ap.add_argument("--bf16-only", action="store_true",
+                    help="skip T5/VAE/quantized-denoise/train; measure only "
+                         "the streamed bf16 pass (stage 4)")
     ap.add_argument("--with-bf16", dest="skip_bf16", action="store_false")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default="/tmp/measure_14b.json")
     args = ap.parse_args()
+    if args.bf16_only:
+        args.skip_bf16 = False
+        args.train_step = False
 
     import jax
     try:
@@ -507,9 +513,11 @@ def main():
                + out[f"{args.mode}_denoise_s"] + out["vae_decode_ms"] / 1e3)
         out["recipe_video_s_measured"] = e2e
         if "bf16_pass_s" in out:
+            # full-quality 50-step CFG: 2 branches/step unless merged
+            passes = 50 * max(1, 2 // args.batch)
             out["bf16_50step_video_s_composed_from_measured_pass"] = (
                 out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
-                + 50 * out["bf16_pass_s"] + out["vae_decode_ms"] / 1e3)
+                + passes * out["bf16_pass_s"] + out["vae_decode_ms"] / 1e3)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -1071,7 +1071,7 @@ def _flash_kernel_int8_4d_capped(q_ref, k_ref, v_ref, qs_ref, ks_ref,
 
 def _flash_fwd_4d_int8(q, k, v, scale: float,
                        block_q: int = DEFAULT_BLOCK_Q,
-                       block_k: int = DEFAULT_BLOCK_K,
+                       block_k: Optional[int] = None,
                        capped: Optional[bool] = None):
     """q/k/v: (B, S, N, D) float -> (B, Sq, N, D) bf16; int8 QK^T (K
     mean-smoothed over tokens), bf16 PV — layout-native, no transposes.
@@ -1086,6 +1086,11 @@ def _flash_fwd_4d_int8(q, k, v, scale: float,
     import os
     if capped is None:
         capped = os.environ.get("FLASH_CAPPED", "1") == "1"
+    if block_k is None:
+        # sweep at the 14B shape (tools/bench_int8_capped.py, calibrated):
+        # capped has no running-max dependency chain, so the wider KV tile
+        # wins (115.0 ms vs 119.3 at 1024); online-max keeps 1024
+        block_k = 2048 if capped else DEFAULT_BLOCK_K
     b, sq, n, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, max(128, 1 << (sq - 1).bit_length()))
