@@ -183,21 +183,51 @@ def bench_wan13b_step():
     fwd = jax.jit(lambda p, vp, x, t, c, vc: wan_dit_forward(
         p, cfg, x, t, c, vace_params=vp, vace_cfg=vcfg, vace_context=vc))
     branch_ms = _time(lambda: fwd(params, vace_params, lat, ts, ctx, vctx), n=4)
+
+    # REAL bf16 full-quality 50-step denoise, measured end-to-end (the
+    # reference's full-quality defaults: 50 steps, CFG -> 2 DiT passes/step,
+    # wan_video_new.py:461-473) at the scale that fits one v5e HBM resident
+    # in bf16 — the 1.3B+VACE Ditto edit shape. The 14B bf16 number is
+    # composed from its measured streamed pass (see main_measured).
+    denoise_50_s = None
+    if int(__import__("os").environ.get("BENCH_13B_50STEP", "1")):
+        import numpy as np
+        from video_styler_tpu.schedulers.flow_match import FlowMatchScheduler
+        sched = FlowMatchScheduler(shift=5.0, sigma_min=0.0,
+                                   extra_one_step=True)
+        sched.set_timesteps(50, shift=5.0)
+        step_lat = lat
+        t0 = time.perf_counter()
+        for t in sched.timesteps:
+            tj = jnp.asarray([float(t)], jnp.float32)
+            v_posi = fwd(params, vace_params, step_lat, tj, ctx, vctx)
+            v_nega = fwd(params, vace_params, step_lat, tj, ctx, vctx)
+            v = v_nega + 5.0 * (v_posi - v_nega)  # cfg_scale 5 (reference)
+            step_lat = jnp.asarray(
+                sched.step(np.asarray(v, np.float32), float(t),
+                           np.asarray(step_lat, np.float32)), jnp.bfloat16)
+        _sync(step_lat)
+        denoise_50_s = time.perf_counter() - t0
+
     del params, vace_params
     gc.collect()
-    return branch_ms
+    return branch_ms, denoise_50_s
 
 
 def _artifact_value(key):
-    """Read one value from the committed measured artifact
-    (docs/artifacts_m14b_r3.json); None if absent."""
+    """Read one value from the committed measured artifacts (newest round
+    first); None if absent."""
     import os
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "artifacts_m14b_r3.json")) as f:
-            return json.load(f).get(key)
-    except Exception:
-        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("artifacts_m14b_r4.json", "artifacts_m14b_r3.json"):
+        try:
+            with open(os.path.join(here, "docs", name)) as f:
+                v = json.load(f).get(key)
+            if v is not None:
+                return v
+        except Exception:
+            continue
+    return None
 
 
 def bench_measured_14b():
@@ -264,6 +294,39 @@ def main():
                 + 2 * measured["vae_encode_ms"] / 1e3
                 + denoise + measured["vae_decode_ms"] / 1e3)
 
+    # stage A2: cheap streamed-train regression probe (VERDICT r3 item 7) —
+    # one REAL 48-block int4-resident streamed backward at a reduced token
+    # count, minutes not 17, so trainers/streaming_train.py regressions
+    # surface in every BENCH instead of being carried forever.
+    if os.environ.get("BENCH_SKIP_TRAIN_PROBE") != "1" and measured:
+        import subprocess
+        tp = "/tmp/bench_train_small.json"
+        if os.path.exists(tp):
+            os.remove(tp)
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "measure_14b.py"),
+               "--train-only", "--train-shape", "small", "--out", tp]
+        _log("stage A2: train-step regression probe (subprocess, "
+             "timeout 2400s)")
+        try:
+            with open("/tmp/measure_train_small.log", "w") as logf:
+                subprocess.run(cmd, timeout=2400, stdout=logf,
+                               stderr=subprocess.STDOUT, text=True)
+            if os.path.exists(tp):
+                with open(tp) as f:
+                    t = json.load(f)
+                for k in ("train_step_s", "train_step_compile_s",
+                          "train_loss", "train_shape"):
+                    if k in t:
+                        measured[f"train_probe_{k}"] = t[k]
+                prior = _artifact_value("train_probe_step_s")
+                if prior and t.get("train_step_s"):
+                    drift = t["train_step_s"] / prior - 1.0
+                    measured["train_probe_drift_vs_artifact"] = round(drift, 3)
+        except subprocess.TimeoutExpired:
+            _log("train probe timed out; skipping")
+
     import jax
     # persistent compilation cache: the expensive shape-specialized VAE/DiT
     # graphs compile once per machine, not once per process
@@ -315,10 +378,27 @@ def main_measured(m, extra):
         except Exception:
             pass
 
-    _log("stage B: 1.3B+VACE measured branch (continuity metric)")
+    _log("stage B: 1.3B+VACE measured branch + REAL bf16 50-step denoise")
     try:
-        branch13_ms = bench_wan13b_step()
+        branch13_ms, denoise50_s = bench_wan13b_step()
         extra["wan13b_vace_branch_ms"] = round(branch13_ms, 1)
+        if denoise50_s:
+            extra["wan13b_bf16_50step_denoise_s_measured"] = round(
+                denoise50_s, 1)
+            if all(k in m for k in ("t5_encode_ms", "vae_encode_ms",
+                                    "vae_decode_ms")):
+                enc_s = (m["vae_encode2_ms"] / 1e3 if "vae_encode2_ms" in m
+                         else 2 * m["vae_encode_ms"] / 1e3)
+                extra["wan13b_bf16_50step_video_s_measured"] = round(
+                    denoise50_s + m["t5_encode_ms"] / 1e3 * 2 + enc_s
+                    + m["vae_decode_ms"] / 1e3, 1)
+                extra["wan13b_bf16_note"] = (
+                    "REAL measured bf16 full-quality 50-step CFG denoise "
+                    "(100 DiT passes + Euler, reference defaults "
+                    "wan_video_new.py:461-473) at the 1.3B+VACE Ditto edit "
+                    "shape on one v5e; VAE/T5 stages measured in stage A "
+                    "(14B shares them). The 14B bf16 50-step number is "
+                    "composed from its measured streamed pass.")
     except Exception as e:  # keep the headline robust
         _log(f"1.3B stage failed: {e}")
 
@@ -351,6 +431,37 @@ def main_measured(m, extra):
                   + 2 * m["t5_encode_ms"]) / 1e3
         extra["ditto14b_bf16_50step_video_s_composed_from_measured_pass"] = \
             round(50 * (2 // branches) * bf16_pass + vae_t5, 1)
+
+    # v5p-8 bf16 full-quality projection, arithmetic spelled out
+    # (BASELINE.md north star). Anchors: the MEASURED v5e bf16 DiT block
+    # (262.4 ms at 29,640 tokens, docs/PERF_NOTES_r3.md — calibrated
+    # wall-clock on this chip), 48 blocks/pass, 100 passes (50 steps x 2 CFG
+    # branches). On a v5p-8 the 28 GB bf16 stack is HBM-resident sharded
+    # (3.5 GB/chip) — no streaming — and the sequence shards 8-way over ICI
+    # (Ulysses/GSPMD, parallel/): per-chip peak 459 bf16 TF/s vs v5e 197.
+    # 0.85 = sequence-parallel efficiency margin for the all_to_alls.
+    block_ms_bf16 = 262.4
+    v5e_pass_compute_s = 48 * block_ms_bf16 / 1e3
+    v5p8_pass_s = v5e_pass_compute_s * (197.0 / 459.0) / 8.0 / 0.85
+    vae_t5_s = (2 * m["vae_encode_ms"] + m["vae_decode_ms"]
+                + 2 * m["t5_encode_ms"]) / 1e3 if all(
+        k in m for k in ("vae_encode_ms", "vae_decode_ms", "t5_encode_ms")) \
+        else 0.0
+    extra["ditto14b_bf16_50step_video_s_projected_v5p8"] = round(
+        100 * v5p8_pass_s + vae_t5_s, 1)
+    extra["bf16_v5p8_projection_arithmetic"] = {
+        "v5e_block_ms_measured": block_ms_bf16,
+        "blocks_per_pass": 48,
+        "passes": "50 steps x 2 CFG branches = 100",
+        "chip_ratio_v5e_over_v5p": round(197.0 / 459.0, 3),
+        "sp_degree": 8,
+        "sp_efficiency": 0.85,
+        "v5p8_pass_s": round(v5p8_pass_s, 3),
+        "vae_t5_fixed_s_at_v5e_speed": round(vae_t5_s, 1),
+        "note": ("bf16 weights fully HBM-resident sharded on the pod "
+                 "(28 GB / 8 chips); VAE+T5 conservatively at single-chip "
+                 "v5e speed"),
+    }
     mode = next((k[:-len("_denoise_s")] for k in
                  ("int4_denoise_s", "int8_denoise_s", "bf16_denoise_s")
                  if k in m), "int4")
@@ -409,7 +520,9 @@ def main_projected():
     extra["vae_first_run_compile_ms"] = [round(c_enc), round(c_dec)]
 
     _log("stage 4/4: 1.3B+VACE denoise branch at 480x832x73")
-    branch13_ms = bench_wan13b_step()
+    import os as _os
+    _os.environ.setdefault("BENCH_13B_50STEP", "0")  # projected mode: skip
+    branch13_ms, _ = bench_wan13b_step()
     _log(f"1.3B branch_ms={branch13_ms:.0f}")
     extra["wan13b_vace_branch_ms"] = round(branch13_ms, 1)
     wan13b_video_s = (50 * 2 * branch13_ms

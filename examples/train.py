@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--dataset_repeat", type=int, default=1)
     p.add_argument("--dit_path", type=str, default=None)
+    p.add_argument("--model_id_with_origin_paths", type=str, default=None,
+                   help='remote weight sources "id:pattern,id:pattern" '
+                        '(reference train.py surface), resolved via '
+                        'ModelConfig + the download transport')
     p.add_argument("--vae_path", type=str, default=None)
     p.add_argument("--t5_path", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
@@ -108,6 +112,13 @@ def main():
         from video_styler_tpu.pipelines.wan_video import ModelConfig
         mcs = [ModelConfig(path=p.split("|")) for p in
                (args.dit_path, args.vae_path, args.t5_path) if p]
+        # remote sources: "id:pattern,id:pattern" (the reference train.py's
+        # --model_id_with_origin_paths, resolved through the download
+        # transport or a pre-populated VIDEO_STYLER_MODEL_DIR)
+        if args.model_id_with_origin_paths:
+            for spec in args.model_id_with_origin_paths.split(","):
+                mid, pat = spec.split(":", 1)
+                mcs.append(ModelConfig(model_id=mid, origin_file_pattern=pat))
         pipe = WanVideoPipeline.from_pretrained(
             mcs, tokenizer_path=args.tokenizer_path, dtype=jnp.bfloat16)
         from video_styler_tpu.trainers.unified_dataset import UnifiedDataset

@@ -13,6 +13,9 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags
+# never hit the network from tests (the downloader tests override this and
+# point the endpoints at a local HTTP server)
+os.environ.setdefault("VIDEO_STYLER_OFFLINE", "1")
 
 import jax  # noqa: E402
 
@@ -21,6 +24,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full tier; the "
+                          "default run is the <5-min quick tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy parity/pipeline test, skipped by default "
+                   "(run with --runslow or RUN_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow or RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

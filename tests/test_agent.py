@@ -64,11 +64,25 @@ def test_retry_with_backoff_raises_after_retries():
 
     def boom():
         calls.append(1)
-        raise ValueError("nope")
+        raise RuntimeError("HTTP 503 service unavailable")  # retryable class
 
     with pytest.raises(RuntimeError):
         retry_with_backoff(boom, max_retries=2, base_delay=0.01)
     assert len(calls) == 2
+
+
+def test_retry_with_backoff_no_retry_on_validation():
+    """ValueError-class errors are non-retryable (reference
+    _is_retryable_error keywords, image_generation.py:53-58)."""
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        retry_with_backoff(boom, max_retries=3, base_delay=0.01)
+    assert len(calls) == 1
 
 
 def test_data_url_roundtrip():

@@ -1,0 +1,62 @@
+"""Smoke sweep of the generated examples tree — every recipe's inference
+script runs end-to-end on tiny random-init models (the reference's examples
+matrix is its only 'test suite', SURVEY.md §4; here it IS in the test suite).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "examples", "wanvideo"))
+
+from recipes import RECIPES  # noqa: E402
+
+# one representative per family runs in the default (quick) tier; the full
+# 28-recipe sweep is the slow tier
+QUICK = ["Wan2.1-T2V-1.3B", "Wan2.1-VACE-14B", "Wan2.1-I2V-14B-480P",
+         "Wan2.2-TI2V-5B", "Wan2.2-T2V-A14B",
+         "Wan2.1-Fun-V1.1-1.3B-Control-Camera"]
+SLOW = sorted(set(RECIPES) - set(QUICK))
+
+
+def _run_recipe(name):
+    from _runner import run
+    out = run(name, argv=["--smoke"])
+    assert out is not None
+
+
+@pytest.mark.parametrize("name", QUICK)
+def test_recipe_smoke_quick(name):
+    _run_recipe(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW)
+def test_recipe_smoke_full(name):
+    _run_recipe(name)
+
+
+def test_generated_tree_is_current():
+    """tools/gen_examples.py output matches the committed files — the
+    registry is the single source of truth."""
+    for name in RECIPES:
+        for rel in (f"model_inference/{name}.py",
+                    f"model_training/lora/{name}.sh",
+                    f"model_training/full/{name}.sh",
+                    f"model_training/validate_lora/{name}.py"):
+            path = os.path.join(ROOT, "examples", "wanvideo", rel)
+            assert os.path.isfile(path), f"missing generated file {rel}"
+
+
+@pytest.mark.parametrize("script", ["teacache.py",
+                                    "unified_sequence_parallel.py"])
+def test_acceleration_demo_smoke(script):
+    p = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "examples", "wanvideo", "acceleration", script),
+         "--smoke"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert p.returncode == 0, p.stderr[-2000:]

@@ -31,9 +31,19 @@ def test_model_id_resolves_local_cache(tmp_path):
     assert len(ps) == 2 and ps[0].endswith("00001.safetensors")
 
 
-def test_model_id_missing_without_transport(tmp_path):
+def test_model_id_offline_raises(tmp_path):
+    """The stock HTTP transports auto-register (utils/downloader.py), but the
+    suite runs with VIDEO_STYLER_OFFLINE=1 — the fetch must refuse clearly."""
     mc = ModelConfig(model_id="nope/nope", origin_file_pattern="*.safetensors",
                      local_model_path=str(tmp_path))
+    with pytest.raises(RuntimeError, match="OFFLINE"):
+        mc.paths()
+
+
+def test_model_id_missing_without_transport(tmp_path):
+    mc = ModelConfig(model_id="nope/nope", origin_file_pattern="*.safetensors",
+                     local_model_path=str(tmp_path),
+                     download_resource="SomeUnknownMirror")
     with pytest.raises(RuntimeError, match="no transport is registered"):
         mc.paths()
 

@@ -35,6 +35,60 @@ def test_sharded_forward_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_forward_ragged_seq_pads_and_matches():
+    """pad->shard->unpad (the reference's chunk+pad before rank slicing,
+    xdit_context_parallel.py:76-80): a token count NOT divisible by sp must
+    still shard — no constrain-drop warning — and match the single-device
+    output exactly, because padded keys are masked per layer (kv_valid)."""
+    import warnings
+
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG)
+    # f=3, h=5, w=3 -> 45 tokens: not divisible by sp=4 (pads to 48)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 3, 10, 6))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64))
+
+    ref = wan_dit_forward(params, CFG, x, t, ctx)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    sharded_params = shard_params_fsdp(params, mesh)
+    with use_sharding(ShardingContext(mesh)):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fwd = jax.jit(lambda p, x, t, c: wan_dit_forward(p, CFG, x, t, c))
+            out = fwd(sharded_params, x, t, ctx)
+            out.block_until_ready()
+    dropped = [str(m.message) for m in w if "dropping the sharding" in str(m.message)]
+    assert not dropped, f"seq axis serialized: {dropped}"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_vace_ragged_seq_matches():
+    """Same ragged-shape guarantee through the VACE hint branch."""
+    from video_styler_tpu.models.wan_vace import VaceConfig, init_vace
+
+    vcfg = VaceConfig(vace_layers=(0, 1), dim=CFG.dim, num_heads=4,
+                      ffn_dim=384)
+    params = init_wan_dit(jax.random.PRNGKey(0), CFG)
+    vace_params = init_vace(jax.random.PRNGKey(5), vcfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 3, 10, 6))
+    vctx = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 3, 10, 6))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64))
+
+    ref = wan_dit_forward(params, CFG, x, t, ctx, vace_params=vace_params,
+                          vace_cfg=vcfg, vace_context=vctx)
+    mesh = make_mesh(dp=1, fsdp=2, sp=4)
+    with use_sharding(ShardingContext(mesh)):
+        fwd = jax.jit(lambda p, vp, x, t, c, vc: wan_dit_forward(
+            p, CFG, x, t, c, vace_params=vp, vace_cfg=vcfg, vace_context=vc))
+        out = fwd(shard_params_fsdp(params, mesh),
+                  shard_params_fsdp(vace_params, mesh), x, t, ctx, vctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_ulysses_attention_matches_sdpa():
     mesh = make_mesh(dp=1, fsdp=1, sp=4)
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 4, 16))

@@ -216,6 +216,15 @@ def measure(args):
         t0 = time.perf_counter()
         lat = V.encode(vaep, video, vaec, tiled=True); _sync(lat)
         enc_ms = (time.perf_counter() - t0) * 1e3
+        # the VACE edit's actual encode: ONE batch-2 pass over
+        # [inactive, reactive] (build_vace_context, pipelines/wan_video.py:364)
+        # — per-tile fixed costs amortize vs two batch-1 passes
+        video2 = jnp.concatenate([video, video], axis=0)
+        lat2 = V.encode(vaep, video2, vaec, tiled=True); _sync(lat2)
+        t0 = time.perf_counter()
+        lat2 = V.encode(vaep, video2, vaec, tiled=True); _sync(lat2)
+        out["vae_encode2_ms"] = (time.perf_counter() - t0) * 1e3
+        del video2, lat2
         outv = V.decode(vaep, lat.astype(jnp.bfloat16), vaec, tiled=True)
         _sync(outv)  # compile
         t0 = time.perf_counter()
@@ -233,15 +242,14 @@ def measure(args):
     # ------- stage 3: quantized 14B+VACE denoise (int4 resident / int8
     # streamed — int4 fits the whole 17 GB stack into ~8.7 GB HBM) --------
     qmode = args.mode
-    if args.sage:
-        # int8 capped-softmax attention alongside the quantized linears —
-        # the reference's own quantized path prefers sageattention
-        # (wan_video_dit.py:9-26), so this matches the recipe class
-        from video_styler_tpu.ops.attention import set_quantized_attention
-        set_quantized_attention(True)
-        out["quantized_attention"] = True
-    dit_host, vace_host = build_host_dit(cfg, vcfg, qmode,
-                                         alias=not args.full_store)
+    run_quant_denoise = not args.train_only and not args.bf16_only
+    dit_host = vace_host = None
+    if not args.bf16_only:
+        # bf16-only runs skip the quantized store entirely: stage 4 builds
+        # its own bf16 store, so materializing (and first-touch-faulting)
+        # a quantized one here would be pure waste
+        dit_host, vace_host = build_host_dit(cfg, vcfg, qmode,
+                                             alias=not args.full_store)
 
     lat = jax.random.normal(jax.random.PRNGKey(2), lat_shape, jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(3), ctx_shape, jnp.bfloat16)
@@ -250,7 +258,16 @@ def measure(args):
     ts = jnp.asarray([800.0], jnp.float32)
 
     streamer = v = step_lat = None
-    if not args.train_only and not args.bf16_only:
+    if run_quant_denoise:
+        if args.sage:
+            # int8 capped-softmax attention alongside the quantized linears —
+            # the reference's own quantized path prefers sageattention
+            # (wan_video_dit.py:9-26), so this matches the recipe class.
+            # Gated on the quantized stage actually running: a '--bf16-only
+            # --sage' run must NOT measure the bf16 pass with int8 attention
+            from video_styler_tpu.ops.attention import set_quantized_attention
+            set_quantized_attention(True)
+            out["quantized_attention"] = True
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
             resident_blocks=args.resident, prefetch_depth=args.prefetch,
@@ -310,9 +327,23 @@ def measure(args):
         # ~180 MB/block, fully overlapped with ~1 s/block of compute)
         del streamer, v, step_lat
         gc.collect()
+        train_resident = 0
+        if args.train_shape == "small" and not args.tiny:
+            # cheap per-bench regression probe (VERDICT r3 item 7): the REAL
+            # 48-block int4 stack, HBM-resident (no transfer wall), at a
+            # reduced token count — exercises the full streamed-backward
+            # machinery (segmented walk, sub-remat vjp, activation ckpt) in
+            # minutes instead of ~17
+            lat = jax.random.normal(jax.random.PRNGKey(2),
+                                    (1, 16, 3, 30, 52), jnp.bfloat16)
+            vctx = jax.random.normal(jax.random.PRNGKey(4),
+                                     (1, 96, 3, 30, 52), jnp.bfloat16)
+            train_resident = 48
+            out["train_shape"] = "small(1,16,3,30,52)+resident"
         streamer = WanBlockStreamer(
             dit_host, cfg, vace_host, vcfg, mode=qmode,
-            resident_blocks=0, prefetch_depth=min(args.prefetch, 2),
+            resident_blocks=train_resident,
+            prefetch_depth=min(args.prefetch, 2),
             num_streams=args.streams, overlap=not args.serial)
         lat1, ctx1, vctx1 = lat[:1], ctx[:1], vctx[:1]
         target = jax.random.normal(jax.random.PRNGKey(9), lat1.shape,
@@ -369,6 +400,11 @@ def measure(args):
 
     # ---------------- stage 4: bf16 streamed pass ------------------------
     if not args.skip_bf16:
+        if args.sage:
+            # quantized attention is a quantized-recipe choice; the bf16
+            # full-quality measurement always uses the bf16 flash kernel
+            from video_styler_tpu.ops.attention import set_quantized_attention
+            set_quantized_attention(False)
         del dit_host, vace_host
         gc.collect()
         dit_host, vace_host = build_host_dit(cfg, vcfg, "bf16",
@@ -378,10 +414,17 @@ def measure(args):
             resident_blocks=args.resident_bf16, prefetch_depth=args.prefetch,
             num_streams=args.streams, overlap=not args.serial)
         out["plan_bf16"] = streamer.plan_summary()
+        _log(f"bf16 plan: {out['plan_bf16']}")
+        save()
         t0 = time.perf_counter()
         v, _, _ = streamer.forward(lat, ts, ctx, vace_context=vctx)
         _sync(v)
+        # pre-warm the Euler-update graph (same reason as the quantized
+        # stage: it otherwise compiles inside the first timed step)
+        _sync((lat - 0.02 * v).astype(jnp.bfloat16))
         out["bf16_pass_compile_s"] = time.perf_counter() - t0
+        _mem(out, "bf16_after_warmup")
+        save()
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -391,6 +434,37 @@ def measure(args):
             _log(f"bf16 pass {times[-1]:.1f}s")
         out["bf16_pass_s"] = min(times)
         save()
+
+        if args.bf16_steps:
+            # REAL multi-step bf16 denoise (the full-quality 50-step path,
+            # wan_video_new.py:461-473 defaults): every step runs the CFG
+            # branch passes through the streamed 48-block bf16 stack and a
+            # real Euler update. This is a measurement, not a composition.
+            step_lat = lat
+            pass_times = []
+            t_all = time.perf_counter()
+            for step in range(args.bf16_steps):
+                for branch in range(branch_passes):
+                    t0 = time.perf_counter()
+                    v, _, _ = streamer.forward(step_lat, ts, ctx,
+                                               vace_context=vctx)
+                    _sync(v)
+                    pass_times.append(time.perf_counter() - t0)
+                    _log(f"bf16 step {step} branch {branch}: "
+                         f"{pass_times[-1]:.1f}s")
+                step_lat = (step_lat - 0.02 * v).astype(jnp.bfloat16)
+                out[f"bf16_{args.bf16_steps}step_partial_s"] = (
+                    time.perf_counter() - t_all)
+                out["bf16_steps_done"] = step + 1
+                save()
+            out[f"bf16_{args.bf16_steps}step_denoise_s_measured"] = (
+                time.perf_counter() - t_all)
+            out["bf16_step_pass_times"] = pass_times
+            out["bf16_step_pass_s_median"] = sorted(
+                pass_times)[len(pass_times) // 2]
+            _mem(out, "bf16_after_steps")
+            step_lat = None
+            save()
 
         # ------------ stage 5: measured streaming LoRA train step --------
         # The Ditto recipe at 14B-block scale (train.sh: VACE LoRA r128,
@@ -474,6 +548,11 @@ def main():
     ap.add_argument("--train-only", action="store_true",
                     help="skip the T5/VAE/denoise stages; measure only the "
                          "streaming LoRA train step")
+    ap.add_argument("--train-shape", default="full",
+                    choices=["full", "small"],
+                    help="small = reduced-token, int4-resident train-step "
+                         "probe (the per-bench regression check; minutes "
+                         "instead of the full ~17-min restream-bound step)")
     ap.add_argument("--act-ckpt", default="device",
                     choices=["auto", "device", "host"],
                     help="train-step boundary activations: keep every k-th "
@@ -488,6 +567,15 @@ def main():
                     help="skip T5/VAE/quantized-denoise/train; measure only "
                          "the streamed bf16 pass (stage 4)")
     ap.add_argument("--with-bf16", dest="skip_bf16", action="store_false")
+    ap.add_argument("--bf16-steps", type=int, default=0,
+                    help="run a REAL N-step bf16 denoise loop in stage 4 "
+                         "(50 = the reference full-quality default; each "
+                         "step runs the CFG branch passes + an Euler "
+                         "update). 0 = just the single-pass measurement")
+    ap.add_argument("--prior", default="docs/artifacts_m14b_r3.json",
+                    help="prior measure JSON to source T5/VAE timings from "
+                         "when this run skips those stages (--bf16-only), "
+                         "so the end-to-end composition is still emitted")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default="/tmp/measure_14b.json")
     args = ap.parse_args()
@@ -505,19 +593,49 @@ def main():
         pass
 
     out = measure(args)
-    if not args.tiny and "vae_encode_ms" in out:
-        # the Ditto VACE edit: 2 vace encodes (inactive/reactive masks,
-        # wan_video_new.py:861-920) + denoise (already includes both CFG
-        # branches regardless of --batch) + decode + T5
-        e2e = (out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
-               + out[f"{args.mode}_denoise_s"] + out["vae_decode_ms"] / 1e3)
-        out["recipe_video_s_measured"] = e2e
+    if not args.tiny:
+        # fixed-stage timings: this run's measurements, else a prior
+        # committed measure JSON (--prior) so stage-skipping modes
+        # (--bf16-only) still emit the end-to-end composition
+        fixed = {k: out.get(k) for k in
+                 ("t5_encode_ms", "vae_encode_ms", "vae_decode_ms")}
+        if not all(v is not None for v in fixed.values()) and args.prior \
+                and os.path.exists(args.prior):
+            with open(args.prior) as f:
+                prior = json.load(f)
+            for k in fixed:
+                if fixed[k] is None and k in prior:
+                    fixed[k] = prior[k]
+                    out[f"prior_{k}"] = prior[k]
+            if all(v is not None for v in fixed.values()):
+                out["fixed_stage_source"] = args.prior
+        have_fixed = all(v is not None for v in fixed.values())
+
+        def compose(denoise_s):
+            # the Ditto VACE edit: T5 + the VACE encode (ONE batched
+            # inactive/reactive pass when measured — build_vace_context,
+            # pipelines/wan_video.py:364 — else 2x the batch-1 encode) +
+            # denoise (includes both CFG branches regardless of --batch)
+            # + decode
+            enc_s = (out["vae_encode2_ms"] / 1e3 if "vae_encode2_ms" in out
+                     else 2 * fixed["vae_encode_ms"] / 1e3)
+            return (fixed["t5_encode_ms"] / 1e3 + enc_s
+                    + denoise_s + fixed["vae_decode_ms"] / 1e3)
+
+        if f"{args.mode}_denoise_s" in out and have_fixed:
+            out["recipe_video_s_measured"] = compose(
+                out[f"{args.mode}_denoise_s"])
+        key = f"bf16_{args.bf16_steps}step_denoise_s_measured"
+        if key in out and have_fixed and args.bf16_steps:
+            out[f"bf16_{args.bf16_steps}step_video_s_measured"] = compose(
+                out[key])
         if "bf16_pass_s" in out:
             # full-quality 50-step CFG: 2 branches/step unless merged
             passes = 50 * max(1, 2 // args.batch)
-            out["bf16_50step_video_s_composed_from_measured_pass"] = (
-                out["t5_encode_ms"] / 1e3 + 2 * out["vae_encode_ms"] / 1e3
-                + passes * out["bf16_pass_s"] + out["vae_decode_ms"] / 1e3)
+            out["bf16_50step_denoise_s_composed"] = passes * out["bf16_pass_s"]
+            if have_fixed:
+                out["bf16_50step_video_s_composed_from_measured_pass"] = \
+                    compose(passes * out["bf16_pass_s"])
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

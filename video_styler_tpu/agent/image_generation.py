@@ -32,12 +32,17 @@ def data_url_to_pil(url: str) -> Image.Image:
 
 def retry_with_backoff(fn: Callable, max_retries: int = 3, base_delay: float = 1.0,
                        max_delay: float = 30.0):
-    """Exponential backoff (image_generation.py:80-129 behavior)."""
+    """Exponential backoff (image_generation.py:80-129 behavior): transient
+    failures (5xx/429/network) retry; auth/validation (4xx) raise at once
+    via the reference's retryability classification."""
+    from .providers import is_retryable_error
     last_err = None
     for attempt in range(max_retries):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — API clients raise varied errors
+            if not is_retryable_error(e):
+                raise
             last_err = e
             delay = min(base_delay * (2 ** attempt), max_delay)
             time.sleep(delay)
@@ -64,35 +69,28 @@ def _mock_provider(image: Image.Image, prompt: str, **kwargs) -> Image.Image:
     return out
 
 
-def _http_provider(url_env: str, key_env: str):
-    def provider(image: Image.Image, prompt: str, **kwargs) -> Image.Image:
-        import json
-        import urllib.request
-        api_url = os.environ.get(url_env)
-        api_key = os.environ.get(key_env)
-        if not api_url or not api_key:
-            raise RuntimeError(f"{url_env}/{key_env} not configured")
-        payload = json.dumps({
-            "prompt": prompt,
-            "image": pil_to_data_url(image),
-            **kwargs,
-        }).encode()
-        req = urllib.request.Request(
-            api_url, data=payload,
-            headers={"Content-Type": "application/json",
-                     "Authorization": f"Bearer {api_key}"})
-        with urllib.request.urlopen(req, timeout=120) as resp:
-            data = json.loads(resp.read())
-        return data_url_to_pil(data["image"])
+def _real_provider(name: str):
+    """Bind a real REST client from agent/providers.py (the Gemini / Qwen /
+    Doubao / OpenAI wire formats of reference src/utils/image_generation.py)."""
+    def provider(image: Image.Image, prompt: str,
+                 target_ratio: Optional[float] = None,
+                 model: Optional[str] = None, **kwargs) -> Image.Image:
+        from . import providers as P
+        fn = {"gemini": P.gemini_edit, "qwen": P.qwen_edit,
+              "doubao": P.doubao_edit, "openai": P.openai_edit}[name]
+        if target_ratio is None:
+            target_ratio = (image.width / image.height) if image is not None \
+                else 1.0
+        return fn(image, prompt, target_ratio=target_ratio, model=model)
     return provider
 
 
 PROVIDERS: Dict[str, Callable] = {
     "mock": _mock_provider,
-    "gemini": _http_provider("GEMINI_IMAGE_API_URL", "GEMINI_API_KEY"),
-    "openai": _http_provider("OPENAI_IMAGE_API_URL", "OPENAI_API_KEY"),
-    "qwen": _http_provider("QWEN_IMAGE_API_URL", "DASHSCOPE_API_KEY"),
-    "doubao": _http_provider("DOUBAO_IMAGE_API_URL", "ARK_API_KEY"),
+    "gemini": _real_provider("gemini"),
+    "openai": _real_provider("openai"),
+    "qwen": _real_provider("qwen"),
+    "doubao": _real_provider("doubao"),
 }
 
 

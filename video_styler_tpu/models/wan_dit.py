@@ -187,7 +187,8 @@ def _split_mod(modulation, t_mod, n: int):
     return [mod[:, :, i] for i in range(n)]                   # (B, S, D)
 
 
-def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
+def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6,
+                   seq_valid: Optional[int] = None):
     b, s, d = x.shape
     int4 = ("w_q4" in p["q"]
             and p["q"]["w_scale"].ndim == p["q"]["w_q4"].ndim)
@@ -216,7 +217,11 @@ def self_attention(p, x, cos, sin, num_heads: int, eps: float = 1e-6):
     q = constrain(q, "dp", None, "sp", None)
     k = constrain(k, "dp", None, "sp", None)
     v = constrain(v, "dp", None, "sp", None)
-    out = attention(q, k, v)
+    # seq_valid masks mesh-divisibility zero-padding exactly: padded rows
+    # never contribute as keys, so the padded+sharded output equals the
+    # unpadded single-device one (padded QUERY rows are garbage and are
+    # sliced off after the head)
+    out = attention(q, k, v, kv_valid=seq_valid)
     out = constrain(out, "dp", None, "sp", None)
     return linear(p["o"], out.reshape(b, s, d))
 
@@ -252,19 +257,26 @@ def ffn(p, x):
     return linear(p["fc2"], gelu_tanh(linear(p["fc1"], x)))
 
 
-def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig):
+def dit_block(p, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
+              seq_valid: Optional[int] = None):
     """One DiT block (wan_video_dit.py:196-230).
 
     The LayerNorm+modulate chains deliberately stay XLA ops: a fused Pallas
     LN+affine kernel measured 5.90 ms vs XLA's 5.44 ms at the 14B shape
     (29,640 x 5120) — XLA already fuses the norm with the modulate epilogue.
     The Q/K RMSNorm+RoPE chain, by contrast, is fused (see self_attention).
+
+    seq_valid: static true token count when x carries mesh-divisibility
+    padding — threaded into self-attention so padded keys are masked at
+    EVERY layer (padded rows hold garbage after layer 1; without per-layer
+    masking they would contaminate real tokens).
     """
     x = constrain(x, "dp", "sp", None)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
         _split_mod(p["modulation"], t_mod, 6)
     h = modulate(layer_norm({}, x, cfg.eps), shift_msa, scale_msa)
-    x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin, cfg.num_heads, cfg.eps)
+    x = x + gate_msa * self_attention(p["self_attn"], h, cos, sin,
+                                      cfg.num_heads, cfg.eps, seq_valid)
     x = x + cross_attention(p["cross_attn"], layer_norm(p["norm3"], x, cfg.eps),
                             context, cfg.num_heads, cfg.eps, cfg.has_image_input)
     h = modulate(layer_norm({}, x, cfg.eps), shift_mlp, scale_mlp)
@@ -276,7 +288,7 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
                vace_hints=None, vace_layers: Optional[Tuple[int, ...]] = None,
                vace_scale: float = 1.0, remat: bool = False,
                segment_layers: Optional[Tuple[int, ...]] = None,
-               segment_callback=None):
+               segment_callback=None, seq_valid: Optional[int] = None):
     """Run the block stack with lax.scan over stacked weights.
 
     Two per-layer injection mechanisms, both via segmented scans:
@@ -287,10 +299,11 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
     """
     body = dit_block
     if remat:
-        body = jax.checkpoint(body, static_argnums=(6,))
+        body = jax.checkpoint(body, static_argnums=(6, 7))
 
     def scan_fn(carry, layer_p):
-        return body(layer_p, carry, context, t_mod, cos, sin, cfg), None
+        return body(layer_p, carry, context, t_mod, cos, sin, cfg,
+                    seq_valid), None
 
     n = num_blocks(blocks)
     if segment_layers is None and (vace_hints is None or vace_layers is None):
@@ -315,6 +328,28 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
     if start < n:
         x, _ = jax.lax.scan(scan_fn, x, slice_blocks(blocks, start, n))
     return x
+
+
+def pad_tokens_for_mesh(tokens, cos, sin):
+    """Pad (B, S, D) tokens plus their (S, d/2) RoPE tables so S divides the
+    active mesh's sp axis — the reference's chunk+pad before rank-slicing
+    (xdit_context_parallel.py:76-80, pad_freqs :16-25), done once up front
+    under GSPMD.
+
+    Returns (tokens, cos, sin, seq_valid) where seq_valid is the original S
+    (None when no padding was needed — callers skip masking/unpad entirely).
+    Token pad is zeros; cos pads with 1 and sin with 0 (identity rotation)
+    so the fused RMSNorm+RoPE kernel stays NaN-free on garbage rows.
+    """
+    s = tokens.shape[1]
+    from ..parallel.context import seq_pad_amount
+    pad = seq_pad_amount(s, "sp")
+    if pad == 0:
+        return tokens, cos, sin, None
+    tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+    cos = jnp.pad(cos, ((0, pad), (0, 0)), constant_values=1.0)
+    sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    return tokens, cos, sin, s
 
 
 def patchify(p, x, patch_size: Tuple[int, int, int]):
@@ -416,19 +451,24 @@ def wan_dit_forward(
         context = jnp.concatenate([clip_emb, context], axis=1)
 
     tokens, (f, h, w) = patchify(params["patch_embedding"], x, cfg.patch_size)
-    tokens = constrain(tokens, "dp", "sp", None)
     cos, sin = assemble_freqs_grid(cfg.head_dim, f, h, w, rope_indices)
+    tokens, cos, sin, seq_valid = pad_tokens_for_mesh(tokens, cos, sin)
+    tokens = constrain(tokens, "dp", "sp", None)
 
     vace_hints = None
     vace_layers = None
     if vace_params is not None and vace_context is not None:
         from .wan_vace import vace_forward
         vace_hints = vace_forward(vace_params, vace_cfg, tokens, vace_context,
-                                  context, t_mod, cos, sin)
+                                  context, t_mod, cos, sin,
+                                  seq_valid=seq_valid)
         vace_layers = vace_cfg.vace_layers
 
     tokens = run_blocks(params["blocks"], tokens, context, t_mod, cos, sin, cfg,
                         vace_hints=vace_hints, vace_layers=vace_layers,
-                        vace_scale=vace_scale, remat=remat)
+                        vace_scale=vace_scale, remat=remat,
+                        seq_valid=seq_valid)
     tokens = head(params, cfg, tokens, t)
+    if seq_valid is not None:
+        tokens = tokens[:, :seq_valid]
     return unpatchify(tokens, (f, h, w), cfg.patch_size, cfg.out_dim)

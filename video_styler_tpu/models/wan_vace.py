@@ -66,10 +66,12 @@ def init_vace(key, cfg: VaceConfig, dtype=jnp.float32):
 
 
 def vace_forward(params, cfg: VaceConfig, x_tokens, vace_context, context,
-                 t_mod, cos, sin):
+                 t_mod, cos, sin, seq_valid=None):
     """Produce the per-mapped-layer hint list (wan_video_vace.py:53-87).
 
-    x_tokens: trunk tokens after patchify (B, S, D);
+    x_tokens: trunk tokens after patchify (B, S, D) — possibly carrying
+    mesh-divisibility padding, in which case seq_valid is the true length
+    (masked per-layer inside dit_block, models/wan_dit.py);
     vace_context: (B, vace_in_dim, F, H, W).
     Returns hints: (num_vace_layers, B, S, D).
     """
@@ -82,7 +84,8 @@ def vace_forward(params, cfg: VaceConfig, x_tokens, vace_context, context,
 
     def scan_fn(carry, layer_p):
         block_p, after_p = layer_p
-        carry = dit_block(block_p, carry, context, t_mod, cos, sin, bcfg)
+        carry = dit_block(block_p, carry, context, t_mod, cos, sin, bcfg,
+                          seq_valid)
         hint = linear(after_p, carry)
         return carry, hint
 

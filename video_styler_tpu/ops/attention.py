@@ -45,13 +45,25 @@ def set_quantized_attention(enabled: bool):
     _QUANTIZED_ATTENTION = bool(enabled)
 
 
-def attention(q, k, v, scale: Optional[float] = None, use_flash: Optional[bool] = None):
+def attention(q, k, v, scale: Optional[float] = None,
+              use_flash: Optional[bool] = None,
+              kv_valid: Optional[int] = None):
     """Dispatch between the Pallas flash kernel (TPU, long seq) and sdpa.
 
     Mirrors the reference backend chain (wan_video_dit.py:28-61) collapsed to
     TPU-native choices: int8 Sage-style kernel (opt-in) -> bf16 flash
     kernel -> XLA sdpa.
+
+    kv_valid: static count of real keys when the sequence was zero-padded
+    for mesh divisibility (parallel/context.seq_pad_amount). Keys beyond it
+    are excluded exactly — implemented as a static slice of k/v, whose vjp
+    zero-pads the gradient back, so fwd and bwd both stay exact. (The
+    reference's pad path lets zero-pad tokens leak into the softmax,
+    xdit_context_parallel.py:76-80; we don't.)
     """
+    if kv_valid is not None and kv_valid < k.shape[1]:
+        k = k[:, :kv_valid]
+        v = v[:, :kv_valid]
     if use_flash is None:
         use_flash = (
             jax.default_backend() == "tpu"

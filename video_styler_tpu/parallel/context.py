@@ -41,6 +41,37 @@ def use_sharding(ctx: Optional[ShardingContext]):
         _state.ctx = prev
 
 
+def axis_size(ax) -> int:
+    """Size of a mesh axis (or product for a tuple) under the active
+    context; 1 when no context is active or the axis is absent."""
+    ctx = current_sharding()
+    if ctx is None or ax is None:
+        return 1
+    if isinstance(ax, tuple):
+        out = 1
+        for a in ax:
+            out *= axis_size(a)
+        return out
+    return int(ctx.mesh.shape.get(ax, 1))
+
+
+def seq_pad_amount(seq_len: int, *axes) -> int:
+    """Zero-padding needed on a sequence of `seq_len` so it divides the
+    product of the given mesh axes — the pad→shard→unpad path the reference
+    implements with chunk+pad before rank-slicing
+    (/root/reference/diffsynth/distributed/xdit_context_parallel.py:76-80).
+
+    Unlike the reference (whose zero-pad tokens participate as attention
+    keys), callers here thread the true length into the flash kernels as a
+    static `kv_valid`, so padded tokens are masked exactly and the sharded
+    output matches the single-device one bit-for-bit (modulo reduction
+    order)."""
+    total = 1
+    for ax in axes:
+        total *= axis_size(ax)
+    return (-seq_len) % total
+
+
 _warned_drops = set()
 
 

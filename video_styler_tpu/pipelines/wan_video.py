@@ -560,40 +560,65 @@ class WanVideoPipeline:
             tokens, (f, h, w), n_ref = _assemble_tokens(
                 params, latents, control_camera, reference_latents)
             from ..parallel.context import constrain
-            tokens = constrain(tokens, "dp", "sp", None)
             cos, sin = assemble_freqs_grid(cfg.head_dim, f + (1 if use_ref else 0),
                                            h, w, ri)
+            # pad -> shard -> unpad (the reference's chunk+pad before rank
+            # slicing, xdit_context_parallel.py:76-80): ragged shapes like
+            # the flagship 29,640-token edit now shard on sp instead of
+            # silently serializing; padded keys are masked exactly per layer
+            tokens, cos, sin, seq_valid = M.pad_tokens_for_mesh(
+                tokens, cos, sin)
+            tokens = constrain(tokens, "dp", "sp", None)
             hints = None
             if use_vace:
                 hints = vace_forward(vace_params, vcfg, tokens, vace_context,
-                                     ctx, t_mod, cos, sin)
+                                     ctx, t_mod, cos, sin,
+                                     seq_valid=seq_valid)
             seg_layers = None
             seg_cb = None
             if use_animate:
                 # Animate (wan_video_animate_adapter.py:582-609): pose tokens
-                # added to frames 1.., face blocks fused every 5th layer
+                # added to frames 1.., face blocks fused every 5th layer.
+                # The grid reshapes need the unpadded length; mesh padding
+                # (if any) is stripped and re-applied around each hook.
                 from ..models import wan_animate as A
-                tokens5 = tokens.reshape(tokens.shape[0], f, h, w, cfg.dim)
+                s_real = f * h * w
+
+                def _unpad(x):
+                    return x[:, :s_real] if seq_valid is not None else x
+
+                def _repad(x):
+                    if seq_valid is None:
+                        return x
+                    return jnp.pad(x, ((0, 0),
+                                       (0, tokens.shape[1] - s_real),
+                                       (0, 0)))
+
+                tokens5 = _unpad(tokens).reshape(
+                    tokens.shape[0], f, h, w, cfg.dim)
                 tokens5 = tokens5.transpose(0, 4, 1, 2, 3)
                 tokens5, motion_vec = A.animate_after_patch_embedding(
                     animate_params, tokens5, pose_latents, face_values)
-                tokens = tokens5.transpose(0, 2, 3, 4, 1).reshape(
-                    tokens.shape[0], f * h * w, cfg.dim)
+                tokens = _repad(tokens5.transpose(0, 2, 3, 4, 1).reshape(
+                    tokens.shape[0], s_real, cfg.dim))
                 seg_layers = tuple(range(0, cfg.num_layers, 5))
 
                 def seg_cb(i, x):
-                    return A.animate_after_transformer_block(
-                        animate_params, i * 5, x, motion_vec,
-                        heads_num=cfg.num_heads)
+                    return _repad(A.animate_after_transformer_block(
+                        animate_params, i * 5, _unpad(x), motion_vec,
+                        heads_num=cfg.num_heads))
             tokens_pre = tokens
             tokens = M.run_blocks(params["blocks"], tokens, ctx, t_mod, cos,
                                   sin, cfg, vace_hints=hints,
                                   vace_layers=None if hints is None else vcfg.vace_layers,
                                   vace_scale=vace_scale,
                                   segment_layers=seg_layers,
-                                  segment_callback=seg_cb)
+                                  segment_callback=seg_cb,
+                                  seq_valid=seq_valid)
             residual = tokens - tokens_pre
             out = M.head(params, cfg, tokens, t)
+            if seq_valid is not None:
+                out = out[:, :seq_valid]
             if n_ref:
                 out = out[:, n_ref:]   # drop reference tokens (:1464-1467)
             v = M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)
@@ -606,8 +631,20 @@ class WanVideoPipeline:
                 latents = jnp.concatenate([latents, y.astype(latents.dtype)], axis=1)
             tokens, (f, h, w), n_ref = _assemble_tokens(
                 params, latents, control_camera, reference_latents)
+            # the cached residual carries the full path's mesh padding;
+            # match it so `tokens + residual` lines up, then unpad after
+            # the head exactly like full()
+            seq_valid = None
+            if residual.shape[1] > tokens.shape[1]:
+                seq_valid = tokens.shape[1]
+                tokens = jnp.pad(
+                    tokens, ((0, 0),
+                             (0, residual.shape[1] - tokens.shape[1]),
+                             (0, 0)))
             tokens = tokens + residual
             out = M.head(params, cfg, tokens, t)
+            if seq_valid is not None:
+                out = out[:, :seq_valid]
             if n_ref:
                 out = out[:, n_ref:]
             return M.unpatchify(out, (f, h, w), cfg.patch_size, cfg.out_dim)

@@ -78,6 +78,17 @@ class WanPrompter:
                         return True
                     except Exception:
                         continue
+        # no sidecar found: fall through to the HTTP transport (ModelScope
+        # layout, HF fallback — utils/downloader.py), matching the
+        # reference's out-of-box bootstrap (wan_video_new.py:402-405 fetches
+        # google/umt5-xxl). Env-gated: VIDEO_STYLER_OFFLINE=1 skips network.
+        if os.environ.get("VIDEO_STYLER_OFFLINE", "0") != "1":
+            try:
+                from ..utils.downloader import download_tokenizer
+                self.fetch_tokenizer(download_tokenizer())
+                return True
+            except Exception:
+                pass
         return False
 
     def fetch_models(self, text_encoder_params):

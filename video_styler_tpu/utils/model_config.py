@@ -81,6 +81,17 @@ class ModelConfig:
         if found is None and not self.skip_download:
             transport = _TRANSPORTS.get(self.download_resource)
             if transport is None:
+                # lazily register the stock HTTP transports (ModelScope
+                # layout + HF fallback, utils/downloader.py) so a connected
+                # machine bootstraps out of the box like the reference
+                # (diffsynth/models/downloader.py:1-111)
+                try:
+                    from .downloader import ensure_default_transports
+                    ensure_default_transports()
+                except Exception:
+                    pass
+                transport = _TRANSPORTS.get(self.download_resource)
+            if transport is None:
                 raise RuntimeError(
                     f"model_id={self.model_id!r} is not available locally "
                     f"under {local_dir!r} and no transport is registered "
