@@ -431,6 +431,29 @@ def main_measured(m, extra):
                   + 2 * m["t5_encode_ms"]) / 1e3
         extra["ditto14b_bf16_50step_video_s_composed_from_measured_pass"] = \
             round(50 * (2 // branches) * bf16_pass + vae_t5, 1)
+        extra["bf16_pass_note"] = (
+            "the measured streamed bf16 pass on THIS harness is ~98% "
+            "tunnel transfer (24.3 GB/pass at ~20 MB/s effective); the "
+            "composed on-tunnel 50-step number reflects the harness link, "
+            "not the architecture — see the PCIe-host composition")
+        # production single-host composition: same measured per-block bf16
+        # compute (262.4 ms x 48, docs/PERF_NOTES_r3.md), streamed transfer
+        # hidden when link >= streamed_bytes/compute ~ 2 GB/s; PCIe gen4
+        # hosts are 16-64 GB/s, so the pass is compute-bound.
+        pcie_pass_s = max(48 * 0.2624, 24.314 / 16.0)
+        extra["ditto14b_bf16_50step_video_s_composed_pcie_host"] = round(
+            50 * (2 // branches) * pcie_pass_s + vae_t5, 1)
+        extra["bf16_pcie_arithmetic"] = {
+            "v5e_block_ms_measured": 262.4,
+            "blocks": 48,
+            "pass_compute_s": round(48 * 0.2624, 2),
+            "streamed_gb_per_pass": 24.3,
+            "pcie_gbps_assumed": 16,
+            "note": "overlapped streaming: transfer 1.5 s hides under "
+                    "12.6 s compute; measured on-chip overlap behavior "
+                    "(trainers walk) confirms transfers hide when compute "
+                    "dominates",
+        }
 
     # v5p-8 bf16 full-quality projection, arithmetic spelled out
     # (BASELINE.md north star). Anchors: the MEASURED v5e bf16 DiT block

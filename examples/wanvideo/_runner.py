@@ -125,6 +125,9 @@ def build_smoke_pipe(recipe: WanRecipe):
         from video_styler_tpu.models.wan_controllers import init_simple_adapter
         pipe.dit_params["control_adapter"] = init_simple_adapter(
             jax.random.PRNGKey(7), in_dim=24, out_dim=cfg.dim)
+        if recipe.dual_expert:  # both experts carry the adapter
+            pipe.dit2_params["control_adapter"] = init_simple_adapter(
+                jax.random.PRNGKey(17), in_dim=24, out_dim=cfg.dim)
     if "reference_image" in recipe.extra_inputs:
         from video_styler_tpu.ops.basic import init_linear
         pipe.dit_params["ref_conv"] = init_linear(

@@ -38,12 +38,34 @@ def pytest_configure(config):
                    "(run with --runslow or RUN_SLOW=1)")
 
 
+SLOW_THRESHOLD_S = 5.0
+
+
+def _recorded_durations():
+    """tests/durations.json: per-test wall times from a full --runslow
+    --durations=0 run (regenerate by piping that run's durations block
+    through the snippet in PROGRESS.md). Tests above SLOW_THRESHOLD_S are
+    auto-tiered slow; tests absent from the file (new tests) stay quick."""
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "durations.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
         return
     skip = pytest.mark.skip(reason="slow tier: use --runslow or RUN_SLOW=1")
+    durations = _recorded_durations()
     for item in items:
-        if "slow" in item.keywords:
+        nodeid = "tests/" + item.nodeid.split("tests/")[-1] \
+            if "tests/" in item.nodeid else f"tests/{item.nodeid}"
+        if "slow" in item.keywords or \
+                durations.get(nodeid, 0.0) >= SLOW_THRESHOLD_S:
             item.add_marker(skip)
 
 
