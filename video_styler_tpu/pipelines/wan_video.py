@@ -1047,9 +1047,19 @@ class WanVideoPipeline:
                     motion_bucket_id=motion_bucket_id,
                     control_camera=control_camera,
                     reference_latents=reference_latents)
-            sigma, sigma_next = self.scheduler.sigma_pair(i)
-            latents = (latents.astype(jnp.float32)
-                       + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+            if hasattr(self.scheduler, "sigma_pair"):
+                sigma, sigma_next = self.scheduler.sigma_pair(i)
+                latents = (latents.astype(jnp.float32)
+                           + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
+            else:
+                # multistep solvers (FlowUniPC / FlowDPM — the baseline
+                # ComfyUI recipe samples with unipc) keep per-step state and
+                # step on host like the reference's diffusers-style loop
+                # (denoising_enhancing/wan/text2video.py:375-401)
+                latents = jnp.asarray(
+                    self.scheduler.step(np.asarray(v, np.float32), t_host,
+                                        np.asarray(latents, np.float32)),
+                    self.dtype)
             if first_frame_latents is not None:
                 latents = latents.at[:, :, 0:1].set(first_frame_latents)
             if timer is not None:
