@@ -115,6 +115,36 @@ def test_pipeline_denoise_under_sharding():
     assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
 
 
+def test_editor_sharded_matches_single_device():
+    """The Ditto editor (coupled noise + rope_indices + velocity correction)
+    under the dp/fsdp/sp mesh matches its single-device output — the joint
+    [main|edit] token count is ragged, so this also exercises pad->shard->
+    unpad through rope_indices."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _tiny_pipe, _frames
+    from video_styler_tpu.pipelines import WanVideoEditorPipeline
+    from ref_loader import ref_available
+    if not ref_available():
+        pytest.skip("reference not mounted")
+
+    kw = dict(source_video=_frames(5), edited_keyframes=_frames(2, seed=1),
+              keyframe_indices=[0, 4], seed=5, height=32, width=32,
+              num_frames=5, num_inference_steps=2, cfg_scale=1.0,
+              tiled=False, verbose=False, return_latents=True)
+    pipe = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
+    ref = np.asarray(pipe("edit", **kw), np.float32)
+
+    mesh = make_mesh(dp=1, fsdp=2, sp=2)
+    pipe2 = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
+    pipe2.dit_params = shard_params_fsdp(pipe2.dit_params, mesh)
+    pipe2.sharding_ctx = ShardingContext(mesh)
+    with use_sharding(pipe2.sharding_ctx):
+        out = np.asarray(pipe2("edit", **kw), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_ring_attention_matches_full():
     """Ring attention (parallel/ring.py) == plain sdpa on an 8-way
     sequence-sharded mesh."""
