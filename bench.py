@@ -289,9 +289,11 @@ def main():
                         if k in measured), None)
         if denoise and all(k in measured for k in
                            ("t5_encode_ms", "vae_encode_ms", "vae_decode_ms")):
+            enc_s = (measured["vae_encode2_ms"] / 1e3
+                     if "vae_encode2_ms" in measured
+                     else 2 * measured["vae_encode_ms"] / 1e3)
             measured["recipe_video_s_measured"] = (
-                measured["t5_encode_ms"] / 1e3
-                + 2 * measured["vae_encode_ms"] / 1e3
+                measured["t5_encode_ms"] / 1e3 + enc_s
                 + denoise + measured["vae_decode_ms"] / 1e3)
 
     # stage A2: cheap streamed-train regression probe (VERDICT r3 item 7) —
