@@ -504,6 +504,14 @@ def main_measured(m, extra):
         "transfers entirely.")
     extra["baseline_note"] = (
         "240 s = A6000 ComfyUI fp8+CausVid-distill path (README.md:78)")
+    if m.get("int4_pass_compile_s"):
+        extra["compile_amortization_note"] = (
+            f"first-video cost on a fresh process adds "
+            f"{m['int4_pass_compile_s']:.0f}s of XLA compile+warmup; the "
+            "persistent compile cache (/root/.cache/jax_comp_cache) "
+            "amortizes it across processes (measured: train-probe compile "
+            "489s cold -> 274s warm), so the steady-state per-video number "
+            "is the headline")
 
     result = {
         "metric": "ditto_vace14b_recipe_video_s_1xv5e",
