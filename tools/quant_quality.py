@@ -24,7 +24,10 @@ import os
 import sys
 import time
 
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+# CLI only: the re-exec must NEVER run at import time (a test importing this
+# module would exec over the pytest process itself — it did, once)
+if __name__ == "__main__" and \
+        os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
     os.environ["MALLOC_MMAP_THRESHOLD_"] = "1073741824"
     os.environ["MALLOC_TRIM_THRESHOLD_"] = "2147483647"
     os.execv(sys.executable, [sys.executable] + sys.argv)
@@ -80,12 +83,13 @@ def run(args):
     import video_styler_tpu.models.wan_vae as V
 
     if args.tiny:
-        cfg = WanDiTConfig(dim=192, in_dim=16, ffn_dim=512, out_dim=16,
+        # latent channels must match the tiny VAE's z_dim=4 for the decode
+        cfg = WanDiTConfig(dim=192, in_dim=4, ffn_dim=512, out_dim=4,
                            num_heads=4, num_layers=4, text_dim=128,
                            freq_dim=32)
-        vcfg = VaceConfig(vace_layers=(0, 2), dim=192, num_heads=4,
-                          ffn_dim=512)
-        lat_shape = (1, 16, 3, 16, 16)
+        vcfg = VaceConfig(vace_layers=(0, 2), vace_in_dim=4 * 2 + 64,
+                          dim=192, num_heads=4, ffn_dim=512)
+        lat_shape = (1, 4, 3, 16, 16)
         vid_hw = (9, 128, 128)
     else:
         cfg, vcfg = WAN_T2V_1_3B, VACE_1_3B
