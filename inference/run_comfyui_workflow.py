@@ -15,8 +15,10 @@ plays the unipc sampler, and the VACE strength maps to `vace_scale`.
         --input_video in.mp4 --dit_path ... --vae_path ... --t5_path ...
     python inference/run_comfyui_workflow.py --smoke   # tiny models, no files
 
-Unsupported nodes are reported, not silently dropped (WanVideoSLG — skip-
-layer guidance — is noted; torch-compile settings are moot under XLA).
+Every node type in the shipped workflow executes natively — including
+WanVideoSLG (skip-layer guidance on the uncond branch, `slg_blocks` in the
+pipeline); torch-compile settings are moot under XLA. Genuinely unknown
+node types would be reported, not silently dropped.
 """
 import argparse
 import json
@@ -70,9 +72,12 @@ def parse_workflow(path: str) -> dict:
             r["tile_size"] = (max(int(w[1]) // 8, 8), max(int(w[2]) // 8, 8))
             r["tile_stride"] = (max(int(w[3]) // 8, 4), max(int(w[4]) // 8, 4))
         elif t == "WanVideoSLG":
-            r["unsupported"].append(
-                f"WanVideoSLG(blocks={w[0]}) — skip-layer guidance not "
-                "implemented; running without it")
+            # skip-layer guidance: skip the listed blocks on the uncond
+            # branch for steps in [start_percent, end_percent) progress
+            r["slg_blocks"] = tuple(
+                int(b) for b in str(w[0]).split(",") if b.strip())
+            r["slg_start"] = float(w[1])
+            r["slg_end"] = float(w[2])
         elif t == "WanVideoTorchCompileSettings":
             pass  # XLA compiles everything; node is moot
     return r
@@ -99,6 +104,8 @@ def main():
           f"cfg={recipe.get('cfg_scale')} shift={recipe.get('shift')} "
           f"scheduler={recipe.get('scheduler')} "
           f"vace_scale={recipe.get('vace_scale')} "
+          f"slg={recipe.get('slg_blocks')}"
+          f"@[{recipe.get('slg_start')},{recipe.get('slg_end')}) "
           f"{recipe.get('width')}x{recipe.get('height')}"
           f"x{recipe.get('num_frames')}")
 
@@ -154,6 +161,9 @@ def main():
         tiled=tiled,
         tile_size=recipe.get("tile_size", (30, 52)),
         tile_stride=recipe.get("tile_stride", (15, 26)),
+        slg_blocks=recipe.get("slg_blocks"),
+        slg_start=recipe.get("slg_start", 0.0),
+        slg_end=recipe.get("slg_end", 1.0),
     )
     from video_styler_tpu.data import save_video
     save_video(frames, args.output_path, fps=16)

@@ -49,7 +49,11 @@ def test_parse_reference_workflow(tmp_path):
     assert abs(r["vace_scale"] - 0.975) < 1e-6
     assert r["quantized"] is True
     assert r["tile_size"] == (34, 34)
-    assert any("SLG" in u for u in r["unsupported"])
+    # WanVideoSLG executes natively now: blocks "2", window [0.2, 0.7)
+    assert r["unsupported"] == []
+    assert r["slg_blocks"] == (2,)
+    assert abs(r["slg_start"] - 0.2) < 1e-6
+    assert abs(r["slg_end"] - 0.7) < 1e-6
 
 
 def test_workflow_recipe_runs_with_unipc(tmp_path):
@@ -75,6 +79,34 @@ def test_workflow_recipe_runs_with_unipc(tmp_path):
                sigma_shift=r["shift"], tiled=False, return_latents=True)
     assert lat.shape == (1, 4, 2, 4, 4)
     assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
+
+
+def test_slg_branch_difference():
+    """Skip-layer guidance engages exactly inside its window: outputs with
+    slg_blocks differ from the plain run, an out-of-window SLG config is a
+    no-op, and the merged-CFG batch applies the gate to the nega rows only
+    (split and merged modes agree)."""
+    from test_pipeline import _tiny_pipe
+    try:
+        pipe = _tiny_pipe(with_vace=False)
+    except Exception:
+        pytest.skip("tiny pipe needs reference VAE")
+    common = dict(num_frames=5, height=32, width=32, seed=3,
+                  num_inference_steps=4, cfg_scale=4.0, tiled=False,
+                  return_latents=True)
+    lat_plain = pipe("a cat", **common)
+    # window [1.0, 1.0) never matches any step -> exact no-op
+    lat_noop = pipe("a cat", slg_blocks=(1,), slg_start=1.0, slg_end=1.0,
+                    **common)
+    assert float(jnp.abs(lat_plain - lat_noop).max()) == 0.0
+    lat_slg = pipe("a cat", slg_blocks=(1,), slg_start=0.0, slg_end=1.0,
+                   **common)
+    assert bool(jnp.isfinite(lat_slg.astype(jnp.float32)).all())
+    assert float(jnp.abs(lat_plain - lat_slg).mean()) > 1e-6
+    lat_slg_merged = pipe("a cat", slg_blocks=(1,), slg_start=0.0,
+                          slg_end=1.0, cfg_merge=True, **common)
+    assert float(jnp.abs(lat_slg - lat_slg_merged).max()) < 2e-2, \
+        "merged-CFG SLG gate must hit only the nega rows"
 
 
 def test_unipc_swap_differs_from_euler():

@@ -288,7 +288,8 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
                vace_hints=None, vace_layers: Optional[Tuple[int, ...]] = None,
                vace_scale: float = 1.0, remat: bool = False,
                segment_layers: Optional[Tuple[int, ...]] = None,
-               segment_callback=None, seq_valid: Optional[int] = None):
+               segment_callback=None, seq_valid: Optional[int] = None,
+               layer_gate=None):
     """Run the block stack with lax.scan over stacked weights.
 
     Two per-layer injection mechanisms, both via segmented scans:
@@ -296,18 +297,42 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
     - a general `segment_callback(seg_idx, x) -> x` after each layer in
       `segment_layers` (Animate face blocks, wan_video_animate_adapter
       after_transformer_block every 5th layer)
+
+    layer_gate: optional (num_layers, B) array. Each layer's residual update
+    is scaled by its gate — gate 0 makes the block an exact identity for
+    that batch row. This is the skip-layer-guidance mechanism (the ComfyUI
+    WanVideoSLG node in /root/reference/ditto_comfyui_workflow.json: skip
+    configured blocks on the unconditional CFG branch for a step window),
+    expressed as data instead of control flow so one compiled scan serves
+    every (step, branch) combination.
     """
     body = dit_block
     if remat:
         body = jax.checkpoint(body, static_argnums=(6, 7))
 
-    def scan_fn(carry, layer_p):
-        return body(layer_p, carry, context, t_mod, cos, sin, cfg,
-                    seq_valid), None
+    if layer_gate is None:
+        def scan_fn(carry, layer_p):
+            return body(layer_p, carry, context, t_mod, cos, sin, cfg,
+                        seq_valid), None
+    else:
+        def scan_fn(carry, xs):
+            layer_p, g = xs
+            y = body(layer_p, carry, context, t_mod, cos, sin, cfg,
+                     seq_valid)
+            g = g.astype(carry.dtype)[:, None, None]  # (B,) -> (B, 1, 1)
+            return carry + g * (y - carry), None
+
+    def _xs(blks, start=None, stop=None):
+        if start is not None:
+            blks = slice_blocks(blks, start, stop)
+        if layer_gate is None:
+            return blks
+        return (blks, layer_gate if start is None
+                else layer_gate[start:stop])
 
     n = num_blocks(blocks)
     if segment_layers is None and (vace_hints is None or vace_layers is None):
-        x, _ = jax.lax.scan(scan_fn, x, blocks)
+        x, _ = jax.lax.scan(scan_fn, x, _xs(blocks))
         return x
 
     if segment_layers is None:
@@ -321,12 +346,11 @@ def run_blocks(blocks, x, context, t_mod, cos, sin, cfg: WanDiTConfig,
 
     start = 0
     for i, layer in enumerate(segment_layers):
-        seg = slice_blocks(blocks, start, layer + 1)
-        x, _ = jax.lax.scan(scan_fn, x, seg)
+        x, _ = jax.lax.scan(scan_fn, x, _xs(blocks, start, layer + 1))
         x = segment_callback(i, x)
         start = layer + 1
     if start < n:
-        x, _ = jax.lax.scan(scan_fn, x, slice_blocks(blocks, start, n))
+        x, _ = jax.lax.scan(scan_fn, x, _xs(blocks, start, n))
     return x
 
 
@@ -436,11 +460,14 @@ def wan_dit_forward(
     vace_context=None,
     vace_scale: float = 1.0,
     remat: bool = False,
+    layer_gate=None,
 ):
     """Full DiT forward (wan_video_dit.py:354-418), optionally with the VACE
     branch fused in (as model_fn_wan_video does at wan_video_new.py:1404-1450).
 
     x: (B, C, F, H, W) latents; timestep: (B,); context: (B, L, text_dim).
+    layer_gate: optional (num_layers, B) skip-layer-guidance gate (see
+    run_blocks).
     """
     t, t_mod = time_embed(params, cfg, timestep)
     context = text_embed(params, context)
@@ -467,7 +494,7 @@ def wan_dit_forward(
     tokens = run_blocks(params["blocks"], tokens, context, t_mod, cos, sin, cfg,
                         vace_hints=vace_hints, vace_layers=vace_layers,
                         vace_scale=vace_scale, remat=remat,
-                        seq_valid=seq_valid)
+                        seq_valid=seq_valid, layer_gate=layer_gate)
     tokens = head(params, cfg, tokens, t)
     if seq_valid is not None:
         tokens = tokens[:, :seq_valid]

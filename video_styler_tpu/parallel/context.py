@@ -73,15 +73,32 @@ def seq_pad_amount(seq_len: int, *axes) -> int:
 
 
 _warned_drops = set()
+_drop_count = 0
+
+
+def drop_count() -> int:
+    """Number of ragged constrain-drops since the last reset — a drop means
+    some tensor silently serializes on a mesh axis. __graft_entry__'s dryrun
+    asserts this stays zero across the full sweep."""
+    return _drop_count
+
+
+def reset_drop_count():
+    global _drop_count
+    _drop_count = 0
+    _warned_drops.clear()
 
 
 def constrain(x, *axes):
     """with_sharding_constraint under the active context; identity otherwise.
 
-    Axis entries are mesh-axis names (or None). An axis whose size doesn't
-    divide the corresponding mesh axis is dropped to None to stay safe on
-    ragged shapes — a silent perf cliff (the op serializes on that axis), so
-    the first drop per (axis, size) is logged once.
+    Axis entries are mesh-axis names (or None). A dim of extent 1 under an
+    axis of size >1 has nothing to distribute — batch-1 inference under a
+    dp>1 training mesh — so it maps to None by design (the reference's USP
+    wrappers likewise only ever split the sequence dim for inference,
+    xdit_context_parallel.py:15-40). Any OTHER non-divisible dim is a
+    genuine ragged drop: the tensor serializes on that axis, which is a
+    silent perf cliff, so it is counted and warned once per shape.
     """
     ctx = current_sharding()
     if ctx is None:
@@ -96,7 +113,11 @@ def constrain(x, *axes):
             fixed.append(ax)
         elif x.shape[dim] % size == 0:
             fixed.append(ax)
+        elif x.shape[dim] == 1:
+            fixed.append(None)  # nothing to distribute; replicate by design
         else:
+            global _drop_count
+            _drop_count += 1
             key = (ax, size, x.shape[dim])
             if key not in _warned_drops:
                 _warned_drops.add(key)

@@ -544,7 +544,8 @@ class WanVideoPipeline:
                  vace_context, vace_scale, clip_feature=None, y=None,
                  animate_params=None, pose_latents=None, face_values=None,
                  motion_params=None, motion_bucket_id=None,
-                 control_camera=None, reference_latents=None):
+                 control_camera=None, reference_latents=None,
+                 layer_gate=None):
             t, t_mod = M.time_embed(params, cfg, timestep)
             if use_motion:
                 from ..models.wan_controllers import motion_controller_forward
@@ -614,7 +615,8 @@ class WanVideoPipeline:
                                   vace_scale=vace_scale,
                                   segment_layers=seg_layers,
                                   segment_callback=seg_cb,
-                                  seq_valid=seq_valid)
+                                  seq_valid=seq_valid,
+                                  layer_gate=layer_gate)
             residual = tokens - tokens_pre
             out = M.head(params, cfg, tokens, t)
             if seq_valid is not None:
@@ -661,7 +663,8 @@ class WanVideoPipeline:
                         context, vace_context, vace_scale, tea_cache,
                         rope_indices=None, clip_feature=None, y=None,
                         animate_inputs=None, motion_bucket_id=None,
-                        control_camera=None, reference_latents=None):
+                        control_camera=None, reference_latents=None,
+                        layer_gate=None):
         use_vace = vace_context is not None
         use_image = clip_feature is not None or y is not None
         use_animate = animate_inputs is not None
@@ -677,6 +680,9 @@ class WanVideoPipeline:
                 raise ValueError("block streaming supports the T2V/VACE/I2V/"
                                  "editor paths; per-layer adapter "
                                  "conditioning needs the resident path")
+            if layer_gate is not None:
+                raise ValueError("skip-layer guidance (slg_blocks) needs the "
+                                 "resident path; disable block streaming")
             if tea_cache is not None:
                 t_mod = streamer.t_mod_only(timestep)
                 if tea_cache.check(t_mod) and \
@@ -711,7 +717,7 @@ class WanVideoPipeline:
                               pose_latents, face_values,
                               self.motion_controller_params if use_motion else None,
                               motion_bucket_id, control_camera,
-                              reference_latents)
+                              reference_latents, layer_gate)
         if tea_cache is not None:
             tea_cache.store(residual)
         return v
@@ -722,8 +728,16 @@ class WanVideoPipeline:
                               cfg_merge=False, rope_indices=None,
                               clip_feature=None, y=None, animate_inputs=None,
                               motion_bucket_id=None, control_camera=None,
-                              reference_latents=None):
-        """One denoise velocity: CFG via merged batch or two passes."""
+                              reference_latents=None, slg_gate=None):
+        """One denoise velocity: CFG via merged batch or two passes.
+
+        slg_gate: optional (num_layers,) keep-gate for skip-layer guidance —
+        applied to the UNCONDITIONAL branch only (the ComfyUI WanVideoSLG
+        semantics: the skipped blocks degrade the uncond prediction, which
+        the CFG difference then amplifies away from). Per-batch-row gating
+        keeps cfg_merge's single batched forward intact: the merged gate is
+        ones for the posi rows and slg_gate for the nega rows.
+        """
         fun = dict(motion_bucket_id=motion_bucket_id,
                    control_camera=control_camera,
                    reference_latents=reference_latents)
@@ -753,11 +767,19 @@ class WanVideoPipeline:
             if reference_latents is not None:
                 fun2["reference_latents"] = jnp.concatenate(
                     [reference_latents, reference_latents], axis=0)
+            gate2 = None
+            if slg_gate is not None:
+                b = latents.shape[0]
+                g = jnp.asarray(slg_gate, jnp.float32)[:, None]
+                gate2 = jnp.concatenate(
+                    [jnp.ones((g.shape[0], b), jnp.float32),
+                     jnp.tile(g, (1, b))], axis=1)
             v2 = self._branch_forward(which, params, vace_params, lat2,
                                       timestep, ctx, vc2, vace_scale, None,
                                       rope_indices=rope_indices,
                                       clip_feature=cf2, y=y2,
-                                      animate_inputs=ai2, **fun2)
+                                      animate_inputs=ai2, layer_gate=gate2,
+                                      **fun2)
             v_posi, v_nega = v2[:1], v2[1:]
         else:
             v_posi = self._branch_forward(which, params, vace_params, latents,
@@ -766,12 +788,18 @@ class WanVideoPipeline:
                                           rope_indices=rope_indices,
                                           clip_feature=clip_feature, y=y,
                                           animate_inputs=animate_inputs, **fun)
+            gate1 = None
+            if slg_gate is not None:
+                gate1 = jnp.tile(
+                    jnp.asarray(slg_gate, jnp.float32)[:, None],
+                    (1, latents.shape[0]))
             v_nega = self._branch_forward(which, params, vace_params, latents,
                                           timestep, ctx_nega, vace_context,
                                           vace_scale, tc_nega,
                                           rope_indices=rope_indices,
                                           clip_feature=clip_feature, y=y,
-                                          animate_inputs=animate_inputs, **fun)
+                                          animate_inputs=animate_inputs,
+                                          layer_gate=gate1, **fun)
         return v_nega + cfg_scale * (v_posi - v_nega)
 
     @staticmethod
@@ -910,6 +938,9 @@ class WanVideoPipeline:
         sliding_window_stride: Optional[int] = None,
         tea_cache_l1_thresh: Optional[float] = None,
         tea_cache_model_id: str = "",
+        slg_blocks: Optional[Tuple[int, ...]] = None,
+        slg_start: float = 0.0,
+        slg_end: float = 1.0,
         progress_bar_cmd=None,
         return_latents: bool = False,
     ):
@@ -1016,6 +1047,7 @@ class WanVideoPipeline:
         steps = range(len(self.scheduler.timesteps))
         if progress_bar_cmd is not None:
             steps = progress_bar_cmd(steps)
+        n_steps = len(self.scheduler.timesteps)
         for i in steps:
             _t0 = time.perf_counter() if timer is not None else 0.0
             t_host = float(self.scheduler.timesteps[i])
@@ -1024,6 +1056,17 @@ class WanVideoPipeline:
                 which = "dit2"
                 params, vace_params = self.dit2_params, self.vace2_params or self.vace_params
             timestep = jnp.asarray([t_host], jnp.float32)
+            # Skip-layer guidance (the ComfyUI WanVideoSLG node in the
+            # shipped Ditto workflow): inside [slg_start, slg_end) step
+            # progress, the listed blocks are skipped on the UNCOND branch.
+            slg_gate = None
+            if slg_blocks and slg_start <= i / n_steps < slg_end:
+                n_layers = (self.dit_cfg if which == "dit"
+                            else self.dit2_cfg).num_layers
+                g = np.ones((n_layers,), np.float32)
+                # indices past the stack (tiny smoke configs) are ignored
+                g[[b for b in slg_blocks if b < n_layers]] = 0.0
+                slg_gate = g
             if sliding_window_size is not None and sliding_window_stride is not None:
                 # the reference's sliding kwargs forward reference_latents and
                 # motion_bucket_id but not camera control (:1291-1305)
@@ -1034,7 +1077,8 @@ class WanVideoPipeline:
                         None, None, cfg_merge=cfg_merge,
                         clip_feature=clip_feature, y=y_slice,
                         motion_bucket_id=motion_bucket_id,
-                        reference_latents=reference_latents)
+                        reference_latents=reference_latents,
+                        slg_gate=slg_gate)
                 v = self._sliding_window_velocity(
                     sliding_window_size, sliding_window_stride, fwd, latents,
                     y=y, vace_context=vace_context)
@@ -1046,7 +1090,8 @@ class WanVideoPipeline:
                     y=y, animate_inputs=animate_inputs,
                     motion_bucket_id=motion_bucket_id,
                     control_camera=control_camera,
-                    reference_latents=reference_latents)
+                    reference_latents=reference_latents,
+                    slg_gate=slg_gate)
             if hasattr(self.scheduler, "sigma_pair"):
                 sigma, sigma_next = self.scheduler.sigma_pair(i)
                 latents = (latents.astype(jnp.float32)
