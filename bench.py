@@ -346,6 +346,20 @@ def main():
                   "extra": {"error": "no committed artifacts found"}}
         _emit(result)
 
+    # Hard deadline: if anything below blocks past the budget (e.g. a
+    # wedged TPU tunnel hanging the jax backend init), exit 0 anyway — the
+    # headline line above is already on stdout and later lines only enrich.
+    import signal
+
+    def _deadline_exit(signum, frame):
+        _log("budget exhausted — exiting with last emitted result")
+        os._exit(0)
+    try:
+        signal.signal(signal.SIGALRM, _deadline_exit)
+        signal.alarm(int(max(_remaining(), 5)))
+    except Exception:
+        pass
+
     # ---- stage A: fresh 14B recipe measurement (own TPU client; must run
     # before any jax import in this process)
     if os.environ.get("BENCH_SKIP_MEASURED") != "1" and _remaining() > 700:
@@ -425,5 +439,39 @@ def main():
     return result
 
 
+def parent():
+    """Emit the carried headline, then run the stages in a CHILD process
+    bounded by the budget. A wedged TPU backend can hang a process in
+    uninterruptible C code; the parent never touches jax, so it always
+    reaches exit 0 with at least the phase-0 line on stdout (the child
+    appends enriched lines to the same stdout as stages land)."""
+    measured, provenance = load_artifacts()
+    measured = compose_recipe(measured)
+    if measured.get("recipe_video_s_measured"):
+        extra = {"bench_budget_s": BUDGET_S,
+                 "provenance": "carried from committed on-chip measurements "
+                               "(docs/artifacts_m14b_r*.json)",
+                 "carried_keys": sorted(
+                     {provenance[k] for k in measured if k in provenance})}
+        _emit(build_result(dict(measured), extra))
+        _log("parent: carried headline emitted; launching stage child")
+    env = dict(os.environ)
+    env["BENCH_STAGES"] = "child"
+    env["BENCH_BUDGET_S"] = str(max(_remaining() - 20, 10))
+    try:
+        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                       timeout=max(_remaining() - 10, 5))
+    except subprocess.TimeoutExpired:
+        _log("stage child exceeded the budget and was stopped; "
+             "last emitted line stands")
+    except Exception as e:
+        _log(f"stage child failed: {e}")
+    _log(f"bench exiting 0 at +{time.monotonic() - _T0:.0f}s")
+    sys.exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_STAGES") == "child":
+        main()
+    else:
+        parent()

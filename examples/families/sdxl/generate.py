@@ -1,0 +1,16 @@
+"""sdxl inference recipe (mirrors the reference's
+/root/reference/examples/image_synthesis/kolors_with_sdxl_models.py).
+
+Smoke run (tiny random-init models, swept by tests/test_examples_smoke.py):
+    python examples/families/sdxl/generate.py --smoke
+Real run (full checkpoints through the family converters):
+    python examples/image_gen.py --family sdxl --prompt "..." --dit_path ...
+"""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from _family_runner import run  # noqa: E402
+
+if __name__ == "__main__":
+    run("sdxl")

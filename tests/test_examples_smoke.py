@@ -60,3 +60,65 @@ def test_acceleration_demo_smoke(script):
         capture_output=True, text=True, timeout=900,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert p.returncode == 0, p.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# non-Wan family recipes (examples/families/, VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+import importlib.util  # noqa: E402
+
+_fam_dir = os.path.join(ROOT, "examples", "families")
+_spec = importlib.util.spec_from_file_location(
+    "family_recipes", os.path.join(_fam_dir, "recipes.py"))
+_fam_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_fam_mod)
+FAMILIES = _fam_mod.FAMILIES
+
+_rspec = importlib.util.spec_from_file_location(
+    "family_runner", os.path.join(_fam_dir, "_family_runner.py"))
+_fam_runner = importlib.util.module_from_spec(_rspec)
+_rspec.loader.exec_module(_fam_runner)
+
+FAM_QUICK = ["flux", "cog_video"]
+FAM_SLOW = sorted(set(FAMILIES) - set(FAM_QUICK))
+TRAIN_FAMS = sorted(n for n, m in FAMILIES.items() if m["train"])
+
+
+@pytest.mark.parametrize("family", FAM_QUICK)
+def test_family_smoke_quick(family):
+    assert _fam_runner.run(family, argv=["--smoke"]) is not None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", FAM_SLOW)
+def test_family_smoke_full(family):
+    assert _fam_runner.run(family, argv=["--smoke"]) is not None
+
+
+@pytest.mark.parametrize("family", ["flux"])
+def test_family_train_quick(family, tmp_path):
+    losses = _fam_runner.train(
+        family, argv=["--smoke", "--output_path",
+                      str(tmp_path / "lora.safetensors")])
+    assert losses[-1] < losses[0], "LoRA training loss did not decrease"
+    assert os.path.exists(tmp_path / "lora.safetensors")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", sorted(set(TRAIN_FAMS) - {"flux"}))
+def test_family_train_full(family, tmp_path):
+    losses = _fam_runner.train(
+        family, argv=["--smoke", "--output_path",
+                      str(tmp_path / "lora.safetensors")])
+    assert losses[-1] < losses[0], "LoRA training loss did not decrease"
+    assert os.path.exists(tmp_path / "lora.safetensors")
+
+
+def test_family_tree_is_current():
+    """tools/gen_examples.py output exists for every registry entry."""
+    for family, meta in FAMILIES.items():
+        assert os.path.isfile(os.path.join(_fam_dir, family, "generate.py"))
+        if meta["train"]:
+            assert os.path.isfile(
+                os.path.join(_fam_dir, family, "train_lora.py"))

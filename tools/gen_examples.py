@@ -123,6 +123,74 @@ def train_sh(r, kind):
     return "\n".join(stanzas)
 
 
+FAM = os.path.join(ROOT, "examples", "families")
+
+FAM_INFER_TPL = '''"""{family} inference recipe (mirrors the reference\'s
+/root/reference/{ref}).
+
+Smoke run (tiny random-init models, swept by tests/test_examples_smoke.py):
+    python examples/families/{family}/generate.py --smoke
+Real run (full checkpoints through the family converters):
+    python {real} --prompt "..." --dit_path ...
+"""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from _family_runner import run  # noqa: E402
+
+if __name__ == "__main__":
+    run("{family}")
+'''
+
+FAM_TRAIN_TPL = '''"""{family} LoRA training recipe (mirrors the reference\'s
+train/{family} flow; objective in video_styler_tpu/trainers/{trainer}).
+
+Smoke run — tiny model, a few optimizer steps, saves a LoRA safetensors:
+    python examples/families/{family}/train_lora.py --smoke
+Real run: convert the checkpoint through the family pipeline loader, cache
+latents (trainers/latent_cache.py), then point this recipe at them.
+"""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from _family_runner import train  # noqa: E402
+
+if __name__ == "__main__":
+    train("{family}")
+'''
+
+
+def write_fam(rel, content):
+    path = os.path.join(FAM, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def gen_families():
+    # both registries are named recipes.py — load the families one by path
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "family_recipes", os.path.join(FAM, "recipes.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    FAMILIES = mod.FAMILIES
+    n_train = 0
+    for family, meta in sorted(FAMILIES.items()):
+        write_fam(f"{family}/generate.py", FAM_INFER_TPL.format(
+            family=family, ref=meta["ref"], real=meta["real"]))
+        if meta["train"]:
+            trainer = ("sd_training.py" if family in ("sd", "sdxl")
+                       else "image_training.py")
+            write_fam(f"{family}/train_lora.py", FAM_TRAIN_TPL.format(
+                family=family, trainer=trainer))
+            n_train += 1
+    print(f"generated {len(FAMILIES)} family inference + {n_train} training "
+          f"recipes under {FAM}")
+
+
 def main():
     for name, r in sorted(RECIPES.items()):
         write(f"model_inference/{name}.py", INFER_TPL.format(name=name))
@@ -133,6 +201,7 @@ def main():
     n = len(RECIPES)
     print(f"generated {n} inference + {2*n} training + {2*n} validate files "
           f"under {WV}")
+    gen_families()
 
 
 if __name__ == "__main__":
