@@ -67,25 +67,38 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+TINY = False            # --tiny: CPU smoke of the harness itself
+LAT_HW = (60, 104)      # 480x832 latent grid (or 8x8 under --tiny)
+LAT_T = 19              # 73 frames
+N_FRAMES = 73
+PIX = (480, 832)
+
+
+def _dit_cfg():
+    from video_styler_tpu.models.wan_dit import WAN_DIT_TINY, WAN_T2V_1_3B
+    return WAN_DIT_TINY if TINY else WAN_T2V_1_3B
+
+
 def _stub_pipe(pipe_cls, dtype, n_experts=1, seed=0):
     """A 1.3B-architecture pipeline with random bf16 weights and stubbed
     VAE/T5 (their costs are measured in measure_14b and composed)."""
     import jax
     import jax.numpy as jnp
-    from video_styler_tpu.models.wan_dit import WAN_T2V_1_3B, init_wan_dit
+    from video_styler_tpu.models.wan_dit import init_wan_dit
     from video_styler_tpu.models.wan_vae import WAN21_VAE
 
+    cfg = _dit_cfg()
     pipe = pipe_cls(dtype=dtype)
-    pipe.dit_cfg = pipe.dit2_cfg = WAN_T2V_1_3B
-    pipe.dit_params = init_wan_dit(jax.random.PRNGKey(seed), WAN_T2V_1_3B,
+    pipe.dit_cfg = pipe.dit2_cfg = cfg
+    pipe.dit_params = init_wan_dit(jax.random.PRNGKey(seed), cfg,
                                    dtype=dtype)
     if n_experts == 2:
         pipe.dit2_params = init_wan_dit(jax.random.PRNGKey(seed + 1),
-                                        WAN_T2V_1_3B, dtype=dtype)
+                                        cfg, dtype=dtype)
     pipe.vae_cfg = WAN21_VAE
 
     ctx = jax.random.normal(jax.random.PRNGKey(seed + 2),
-                            (1, 512, WAN_T2V_1_3B.text_dim), dtype)
+                            (1, 512, cfg.text_dim), dtype)
     pipe.encode_prompt = lambda text: ctx
     return pipe
 
@@ -105,23 +118,25 @@ def measure_editor(save, steps, keyframes, art):
         WanVideoEditorPipeline
 
     pipe = _stub_pipe(WanVideoEditorPipeline, jnp.bfloat16)
-    lat_shape = (1, 16, 19, 60, 104)       # 73f 480x832
-    kf_shape = (1, 16, keyframes, 60, 104)
+    lat_shape = (1, 16, LAT_T) + LAT_HW    # 73f 480x832 (tiny: 9f 64x64)
+    kf_shape = (1, 16, keyframes) + LAT_HW
     z_main = jax.random.normal(jax.random.PRNGKey(30), lat_shape, jnp.bfloat16)
     z_kf = jax.random.normal(jax.random.PRNGKey(31), kf_shape, jnp.bfloat16)
     pipe.encode_video = lambda v, **kw: z_main
     pipe.encode_keyframes_independently = lambda kfs, **kw: z_kf
 
-    src = _frames(73, 480, 832)
-    kfs = _frames(keyframes, 480, 832, seed=1)
-    kf_idx = [int(i * 72 / max(keyframes - 1, 1)) for i in range(keyframes)]
+    src = _frames(N_FRAMES, *PIX)
+    kfs = _frames(keyframes, *PIX, seed=1)
+    kf_idx = [int(i * (N_FRAMES - 1) / max(keyframes - 1, 1))
+              for i in range(keyframes)]
 
+    tok = LAT_HW[0] * LAT_HW[1] // 4
     _log(f"editor: {steps}-step CFG denoise, joint seq "
-         f"{19 * 30 * 52} + {keyframes * 30 * 52} tokens (compile first)")
+         f"{LAT_T * tok} + {keyframes * tok} tokens (compile first)")
     t0 = time.perf_counter()
     out = pipe("measure", negative_prompt="bad", source_video=src,
                edited_keyframes=kfs, keyframe_indices=kf_idx, seed=7,
-               height=480, width=832, num_frames=73, cfg_scale=5.0,
+               height=PIX[0], width=PIX[1], num_frames=N_FRAMES, cfg_scale=5.0,
                num_inference_steps=steps, tiled=False, verbose=False,
                return_latents=True)
     _sync(out)
@@ -131,7 +146,7 @@ def measure_editor(save, steps, keyframes, art):
     t0 = time.perf_counter()
     out = pipe("measure", negative_prompt="bad", source_video=src,
                edited_keyframes=kfs, keyframe_indices=kf_idx, seed=7,
-               height=480, width=832, num_frames=73, cfg_scale=5.0,
+               height=PIX[0], width=PIX[1], num_frames=N_FRAMES, cfg_scale=5.0,
                num_inference_steps=steps, tiled=False, verbose=False,
                return_latents=True)
     _sync(out)
@@ -165,10 +180,10 @@ def measure_enhancer(save, art):
 
     pipe = _stub_pipe(WanEnhancerPipeline, jnp.bfloat16, n_experts=2, seed=40)
     import jax
-    lat = jax.random.normal(jax.random.PRNGKey(41), (1, 16, 19, 60, 104),
+    lat = jax.random.normal(jax.random.PRNGKey(41), (1, 16, LAT_T) + LAT_HW,
                             jnp.bfloat16)
     pipe.encode_video = lambda v, **kw: lat
-    src = _frames(73, 480, 832, seed=2)
+    src = _frames(N_FRAMES, *PIX, seed=2)
 
     _log("enhancer: dual-expert 4-step SDEdit (compile first)")
     t0 = time.perf_counter()
@@ -207,7 +222,7 @@ def measure_teacache(save, steps):
     from video_styler_tpu.pipelines import wan_video as W
 
     pipe = _stub_pipe(W.WanVideoPipeline, jnp.bfloat16, seed=50)
-    noise = jax.random.normal(jax.random.PRNGKey(51), (1, 16, 19, 60, 104))
+    noise = jax.random.normal(jax.random.PRNGKey(51), (1, 16, LAT_T) + LAT_HW)
 
     import numpy as np
     W_gen = W.generate_noise
@@ -222,7 +237,7 @@ def measure_teacache(save, steps):
         return r
     W.TeaCache.check = counting_check
     try:
-        common = dict(height=480, width=832, num_frames=73, seed=9,
+        common = dict(height=PIX[0], width=PIX[1], num_frames=N_FRAMES, seed=9,
                       num_inference_steps=steps, cfg_scale=5.0, tiled=False,
                       return_latents=True)
         _log(f"teacache: {steps}-step baseline (compile first)")
@@ -234,7 +249,10 @@ def measure_teacache(save, steps):
         off_s = time.perf_counter() - t0
         save["teacache_off_denoise_s"] = round(off_s, 1)
 
-        _log("teacache: thresh=0.05 run")
+        _log("teacache: thresh=0.05 warm-up (skip-path compile), then timed")
+        _sync(pipe("measure", tea_cache_l1_thresh=0.05,
+                   tea_cache_model_id="Wan2.1-T2V-1.3B", **common))
+        skips["n"] = 0
         t0 = time.perf_counter()
         lat_on = pipe("measure", tea_cache_l1_thresh=0.05,
                       tea_cache_model_id="Wan2.1-T2V-1.3B", **common)
@@ -270,9 +288,17 @@ def main():
     ap.add_argument("--skip-editor", action="store_true")
     ap.add_argument("--skip-enhancer", action="store_true")
     ap.add_argument("--skip-teacache", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke of the harness (tiny config/shapes)")
     ap.add_argument("--out", default=os.path.join(
         HERE, "docs", "artifacts_extra_r5.json"))
     args = ap.parse_args()
+    if args.tiny:
+        global TINY, LAT_HW, LAT_T, N_FRAMES, PIX
+        TINY = True
+        LAT_HW, LAT_T, N_FRAMES, PIX = (8, 8), 3, 9, (64, 64)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     try:
