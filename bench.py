@@ -304,6 +304,39 @@ def stage_b_wan13b(budget_50step):
     return branch_ms, compile_s, denoise_50_s
 
 
+def stage_d_editor_enhancer(measured, timeout, editor_too):
+    """Measure the Ditto-novel pipelines (VERDICT r4 item 3) via
+    tools/measure_editor_enhancer.py in a subprocess — enhancer (dual-expert
+    SDEdit, cheap) always; editor + TeaCache when the budget allows. The
+    tool writes its JSON incrementally, so a timeout keeps partials."""
+    out_path = "/tmp/bench_ee.json"
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    # TeaCache (3x 50-step runs, ~15 min) stays a session-side measurement
+    # (tools/measure_editor_enhancer.py without flags); in-bench we take the
+    # enhancer and, budget allowing, the editor.
+    cmd = [sys.executable,
+           os.path.join(HERE, "tools", "measure_editor_enhancer.py"),
+           "--out", out_path, "--skip-teacache"]
+    if not editor_too:
+        cmd += ["--skip-editor"]
+    _log(f"stage D: editor/enhancer measurement (subprocess, timeout "
+         f"{timeout:.0f}s, editor={editor_too}, log /tmp/measure_ee.log)")
+    try:
+        with open("/tmp/measure_ee.log", "w") as logf:
+            subprocess.run(cmd, timeout=timeout, stdout=logf,
+                           stderr=subprocess.STDOUT, text=True)
+    except subprocess.TimeoutExpired:
+        _log("editor/enhancer measurement timed out; using partials")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            got = json.load(f)
+        got.pop("device", None)
+        measured.update(got)
+        return True
+    return False
+
+
 def stage_c_compile_cache(timeout):
     """Cold-vs-warm persistent-compile-cache probe (VERDICT r4 item 6): the
     SAME jitted graph in two fresh subprocesses against a fresh cache dir;
@@ -378,6 +411,24 @@ def main():
             _log("stage A yielded no recipe; carried headline stands")
     else:
         _log("stage A skipped (budget or BENCH_SKIP_MEASURED)")
+
+    # ---- stage D: Ditto-novel pipeline measurements (before any jax import
+    # in this process — the subprocess is its own TPU client). Runs when the
+    # numbers aren't already carried from a committed artifact.
+    have_enh = bool(measured.get("enhancer_denoise_s_measured"))
+    have_ed = bool(measured.get("editor_denoise_s_measured"))
+    if os.environ.get("BENCH_SKIP_EE") != "1" and \
+            (not have_enh or not have_ed) and _remaining() > 420:
+        editor_too = not have_ed and _remaining() > 1100
+        if stage_d_editor_enhancer(
+                measured, timeout=min(_remaining() - 240,
+                                      1500 if editor_too else 400),
+                editor_too=editor_too):
+            result = build_result(dict(measured), dict(extra))
+            _emit(result)
+            _log("stage D done; emitted")
+    else:
+        _log("stage D skipped (carried, budget, or BENCH_SKIP_EE)")
 
     # jax allowed in-process from here on
     import jax
