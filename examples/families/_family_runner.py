@@ -230,6 +230,36 @@ def smoke_sdxl():
     return pipe, dict(cfg_scale=4.0), cleanup
 
 
+def smoke_step1x():
+    """Step1x instruction edit: FLUX trunk + the Step1x connector feeding
+    per-step reference conditioning (models/step1x.py); the Qwen2.5-VL
+    captioner is stubbed (its tower is parity-tested separately)."""
+    import numpy as np
+    import jax, jax.numpy as jnp  # noqa: E401
+    import video_styler_tpu.models.step1x as S
+    from video_styler_tpu.models.flux_dit import FLUX_DIT_TINY, init_flux_dit
+    from video_styler_tpu.pipelines import FluxImagePipeline
+    cfg = FLUX_DIT_TINY
+    pipe = FluxImagePipeline(dtype=jnp.float32)
+    pipe.dit_cfg = cfg
+    pipe.dit_params = init_flux_dit(jax.random.PRNGKey(0), cfg)
+    _stub_image_codec(pipe)
+    pooled = jax.random.normal(_rng(2), (1, cfg.pooled_dim))
+    pipe.encode_prompt = lambda p, n=512: (
+        jax.random.normal(_rng(abs(hash(p)) % 997), (1, 8, cfg.context_dim)),
+        pooled, np.zeros((8, 3)))
+    ccfg = S.Step1xConnectorConfig(in_channels=16, hidden_size=cfg.context_dim,
+                                   num_heads=2, depth=1,
+                                   pooled_dim=cfg.pooled_dim)
+    pipe.step1x_connector_params = S.init_step1x_connector(
+        jax.random.PRNGKey(3), ccfg)
+    pipe.step1x_connector_cfg = ccfg
+    pipe.qwenvl = lambda caps, refs: (
+        np.random.default_rng(0).standard_normal((1, 6, 16)).astype(np.float32),
+        np.ones((1, 6), np.int64))
+    return pipe, dict(step1x_reference_image=_frames(1)[0])
+
+
 def smoke_hunyuan_video():
     import numpy as np
     import jax, jax.numpy as jnp  # noqa: E401
@@ -306,6 +336,7 @@ def smoke_svd():
 SMOKE = {"sd": smoke_sd, "sdxl": smoke_sdxl, "sd3": smoke_sd3,
          "flux": smoke_flux, "qwen_image": smoke_qwen_image,
          "hunyuan_image": smoke_hunyuan_image, "omnigen": smoke_omnigen,
+         "step1x": smoke_step1x,
          "hunyuan_video": smoke_hunyuan_video, "cog_video": smoke_cog_video,
          "step_video": smoke_step_video, "svd": smoke_svd}
 

@@ -44,6 +44,11 @@ FAMILIES = {
         kind="image", train=False,
         ref="examples/image_synthesis/omnigen_text_to_image.py",
         real="examples/image_gen.py --family omnigen"),
+    "step1x": dict(
+        kind="image", train=False,
+        ref="examples/step1x/step1x.py",
+        real="examples/image_gen.py --family flux (+ step1x connector via "
+             "FluxImagePipeline.step1x_connector_params)"),
     "hunyuan_video": dict(
         kind="video", train=False,
         ref="examples/HunyuanVideo/hunyuanvideo_80G.py",
