@@ -393,9 +393,37 @@ def main():
     except Exception:
         pass
 
+    # ---- device-health probe (subprocess, own TPU client): the tunnel can
+    # wedge such that enumeration/device_put work but ANY dispatch blocks
+    # forever (seen 2026-08-21 after a mid-dispatch client kill). A tiny
+    # compute probe decides in <=150 s whether the measured stages can work
+    # at all; if not, skip them and ship the carried headline immediately.
+    device_ok = True
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print('probe_ok', float(jnp.sum(jnp.ones((8, 8)))))"],
+                timeout=150, capture_output=True, text=True)
+            device_ok = probe.returncode == 0 and "probe_ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            device_ok = False
+        if not device_ok:
+            extra["device_compute_probe"] = (
+                "FAILED: executable dispatch blocked/errored within 150 s — "
+                "TPU tunnel compute path wedged; measured stages skipped, "
+                "carried headline stands")
+            _log("device compute probe FAILED — skipping measured stages")
+            result = build_result(dict(measured), dict(extra))
+            _emit(result)
+        else:
+            _log("device compute probe ok")
+
     # ---- stage A: fresh 14B recipe measurement (own TPU client; must run
     # before any jax import in this process)
-    if os.environ.get("BENCH_SKIP_MEASURED") != "1" and _remaining() > 700:
+    if device_ok and os.environ.get("BENCH_SKIP_MEASURED") != "1" \
+            and _remaining() > 700:
         fresh = stage_a_measure_14b(timeout=min(_remaining() - 420, 900))
         fresh = compose_recipe(fresh)
         if fresh.get("recipe_video_s_measured"):
@@ -417,7 +445,7 @@ def main():
     # numbers aren't already carried from a committed artifact.
     have_enh = bool(measured.get("enhancer_denoise_s_measured"))
     have_ed = bool(measured.get("editor_denoise_s_measured"))
-    if os.environ.get("BENCH_SKIP_EE") != "1" and \
+    if device_ok and os.environ.get("BENCH_SKIP_EE") != "1" and \
             (not have_enh or not have_ed) and _remaining() > 420:
         editor_too = not have_ed and _remaining() > 1100
         if stage_d_editor_enhancer(
@@ -430,19 +458,22 @@ def main():
     else:
         _log("stage D skipped (carried, budget, or BENCH_SKIP_EE)")
 
-    # jax allowed in-process from here on
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    extra["device"] = str(jax.devices()[0])
+    # jax allowed in-process from here on (only when the device computes)
+    if device_ok:
+        import jax
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/.cache/jax_comp_cache")
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+        extra["device"] = str(jax.devices()[0])
 
     # ---- stage B: 1.3B branch + bf16 50-step
-    if os.environ.get("BENCH_SKIP_13B") != "1" and _remaining() > 300:
+    if device_ok and os.environ.get("BENCH_SKIP_13B") != "1" \
+            and _remaining() > 300:
         try:
             branch_ms, compile_s, denoise50_s = stage_b_wan13b(
                 budget_50step=320)
@@ -472,7 +503,8 @@ def main():
         _log("stage B skipped (budget)")
 
     # ---- stage C: compile-cache amortization probe
-    if os.environ.get("BENCH_SKIP_CACHE_PROBE") != "1" and _remaining() > 150:
+    if device_ok and os.environ.get("BENCH_SKIP_CACHE_PROBE") != "1" \
+            and _remaining() > 150:
         probe = stage_c_compile_cache(timeout=min(_remaining() - 30, 300))
         if probe:
             extra["compile_cache_probe"] = probe
