@@ -206,8 +206,15 @@ def build_result(m, extra):
     # docs/artifacts_extra_r5.json)
     for k, v in m.items():
         if k.startswith(("train_step_", "train_probe_", "editor_",
-                         "enhancer_", "teacache_")) or k == "train_loss":
+                         "enhancer_", "teacache_", "compile_cache_")) \
+                or k == "train_loss":
             extra[k] = v
+    # decompose the recipe denoise: the 8 jitted passes vs host-side
+    # scheduler/sync overhead (run-to-run variance lives in the latter;
+    # int4_pass_times in extra are the architecture numbers)
+    if m.get("int4_pass_s") and m.get("int4_denoise_s"):
+        extra["denoise_host_overhead_s"] = round(
+            m["int4_denoise_s"] - 8 * m["int4_pass_s"], 1)
     return {
         "metric": "ditto_vace14b_recipe_video_s_1xv5e",
         "value": round(recipe_s, 1),
