@@ -139,3 +139,51 @@ def test_unipc_add_noise_matches_reference():
     want = ref.add_noise(x, n, torch.IntTensor([int(t)])).numpy()
     got = ours.add_noise(x.numpy(), n.numpy(), int(t))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_unipc_device_resident_stepping_matches_host():
+    """The update math is array-polymorphic: feeding jnp arrays keeps the
+    multistep state and the latent on device (how the pipelines call it
+    since round 5 — no 47 MB host round-trip per step) and must produce the
+    same trajectory as host-numpy stepping."""
+    import jax.numpy as jnp
+
+    host = FlowUniPCMultistepScheduler(num_train_timesteps=1000, shift=1)
+    host.set_timesteps(12, shift=5.0)
+    dev = FlowUniPCMultistepScheduler(num_train_timesteps=1000, shift=1)
+    dev.set_timesteps(12, shift=5.0)
+
+    rng = np.random.default_rng(3)
+    x_h = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    x_d = jnp.asarray(x_h)
+    field = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    for t in host.timesteps:
+        v_h = (0.3 * field + 0.1 * x_h).astype(np.float32)
+        v_d = 0.3 * jnp.asarray(field) + 0.1 * x_d
+        x_h = host.step(v_h, int(t), x_h)
+        x_d = dev.step(v_d, int(t), x_d)
+        assert isinstance(x_d, jnp.ndarray)
+        np.testing.assert_allclose(np.asarray(x_d), x_h, rtol=2e-5,
+                                   atol=2e-6)
+
+
+def test_flow_dpm_device_resident_stepping_matches_host():
+    from video_styler_tpu.schedulers.flow_dpm import \
+        FlowDPMSolverMultistepScheduler
+    import jax.numpy as jnp
+
+    host = FlowDPMSolverMultistepScheduler(num_train_timesteps=1000, shift=1)
+    host.set_timesteps(10, shift=5.0)
+    dev = FlowDPMSolverMultistepScheduler(num_train_timesteps=1000, shift=1)
+    dev.set_timesteps(10, shift=5.0)
+    rng = np.random.default_rng(5)
+    x_h = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    x_d = jnp.asarray(x_h)
+    field = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    for t in host.timesteps:
+        v_h = (0.3 * field + 0.1 * x_h).astype(np.float32)
+        v_d = 0.3 * jnp.asarray(field) + 0.1 * x_d
+        x_h = host.step(v_h, int(t), x_h)
+        x_d = dev.step(v_d, int(t), x_d)
+        np.testing.assert_allclose(np.asarray(x_d), x_h, rtol=2e-5,
+                                   atol=2e-6)

@@ -81,8 +81,11 @@ class WanEnhancerPipeline(WanVideoPipeline):
             v_uncond = self._branch_forward(which, params, None, lat, timestep,
                                             ctx_nega, None, 1.0, None)
             v = v_uncond + scale * (v_cond - v_uncond)
-            latents = jnp.asarray(scheduler.step(
-                np.asarray(v, np.float32), t_item, np.asarray(latents, np.float32)))
+            # UniPC's update math is array-polymorphic; feeding jnp arrays
+            # keeps the multistep state and the 47 MB latent ON DEVICE —
+            # the host round-trip per step cost 5 s/pass on the tunnel
+            # harness (docs/PERF_NOTES_r5.md per-pass decomposition)
+            latents = scheduler.step(v.astype(jnp.float32), t_item, latents)
 
         latents = latents.astype(self.dtype)
         if return_latents:

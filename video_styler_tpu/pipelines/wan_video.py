@@ -1098,13 +1098,15 @@ class WanVideoPipeline:
                            + v.astype(jnp.float32) * (sigma_next - sigma)).astype(self.dtype)
             else:
                 # multistep solvers (FlowUniPC / FlowDPM — the baseline
-                # ComfyUI recipe samples with unipc) keep per-step state and
-                # step on host like the reference's diffusers-style loop
-                # (denoising_enhancing/wan/text2video.py:375-401)
-                latents = jnp.asarray(
-                    self.scheduler.step(np.asarray(v, np.float32), t_host,
-                                        np.asarray(latents, np.float32)),
-                    self.dtype)
+                # ComfyUI recipe samples with unipc) keep per-step state in
+                # the scheduler like the reference's diffusers-style loop
+                # (denoising_enhancing/wan/text2video.py:375-401) — but the
+                # update math is array-polymorphic, so the state and the
+                # latent stay ON DEVICE (fp32) instead of round-tripping
+                # to host numpy every step
+                latents = self.scheduler.step(
+                    v.astype(jnp.float32), t_host,
+                    latents.astype(jnp.float32)).astype(self.dtype)
             if first_frame_latents is not None:
                 latents = latents.at[:, :, 0:1].set(first_frame_latents)
             if timer is not None:
