@@ -34,6 +34,9 @@ def main():
     p.add_argument("--t5_path", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--tea_cache_l1_thresh", type=float, default=None,
+                   help="enable TeaCache on the joint [main|edit] forward")
+    p.add_argument("--tea_cache_model_id", type=str, default="Wan2.1-T2V-14B")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -96,6 +99,8 @@ def main():
         beta=args.beta,
         tiled=not args.smoke,
         verbose=True,
+        tea_cache_l1_thresh=args.tea_cache_l1_thresh,
+        tea_cache_model_id=args.tea_cache_model_id,
     )
     save_video(frames, args.output_path, fps=args.fps)
     print(f"step2 done: saved {len(frames)} frames to {args.output_path}")

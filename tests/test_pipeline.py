@@ -107,6 +107,39 @@ def test_editor_end_to_end():
 
 
 @pytest.mark.skipif(not ref_available(), reason="reference not mounted")
+def test_editor_teacache():
+    """TeaCache rides the editor's joint [main|edit] forward: a
+    never-skip threshold reproduces the no-TeaCache latents exactly,
+    and a giant threshold actually skips trunk forwards."""
+    pipe = _tiny_pipe(cls=WanVideoEditorPipeline, with_vace=False)
+    kw = dict(source_video=_frames(5), edited_keyframes=_frames(2, seed=1),
+              keyframe_indices=[0, 4], seed=5, height=32, width=32,
+              num_frames=5, num_inference_steps=4, cfg_scale=2.0,
+              tiled=False, verbose=False, return_latents=True)
+    base = pipe("edit", **kw)
+    never = pipe("edit", tea_cache_l1_thresh=-1e9,
+                 tea_cache_model_id="Wan2.1-T2V-1.3B", **kw)
+    np.testing.assert_allclose(np.asarray(never), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+    skips = {"n": 0}
+    orig_check = TeaCache.check
+
+    def counting_check(self, t_mod):
+        hit = orig_check(self, t_mod)
+        skips["n"] += int(hit)
+        return hit
+
+    import unittest.mock as mock
+    with mock.patch.object(TeaCache, "check", counting_check):
+        skipped = pipe("edit", tea_cache_l1_thresh=1e9,
+                       tea_cache_model_id="Wan2.1-T2V-1.3B", **kw)
+    assert skips["n"] > 0
+    assert skipped.shape == base.shape
+    assert bool(np.isfinite(np.asarray(skipped, np.float32)).all())
+
+
+@pytest.mark.skipif(not ref_available(), reason="reference not mounted")
 def test_noise_parity_with_reference():
     import torch
     want = torch.randn((1, 4, 3, 8, 8),

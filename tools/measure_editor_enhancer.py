@@ -55,6 +55,11 @@ class Saver:
     def __init__(self, path):
         self.path = path
         self.out = {}
+        try:    # merge: partial re-runs keep previously measured keys
+            with open(path) as f:
+                self.out = json.load(f)
+        except Exception:
+            pass
 
     def __setitem__(self, k, v):
         self.out[k] = v
@@ -111,7 +116,7 @@ def _frames(n, h, w, seed=0):
             for _ in range(n)]
 
 
-def measure_editor(save, steps, keyframes, art):
+def measure_editor(save, steps, keyframes, art, with_teacache=True):
     import jax
     import jax.numpy as jnp
     from video_styler_tpu.pipelines.wan_video_editor import \
@@ -155,6 +160,12 @@ def measure_editor(save, steps, keyframes, art):
     save["editor_keyframes"] = keyframes
     save["editor_denoise_s_measured"] = round(denoise_s, 1)
 
+    # TeaCache through the editor's joint [main|edit] forward (round-5:
+    # the editor accepts tea_cache_l1_thresh like the base pipeline)
+    if with_teacache:
+        _measure_editor_teacache(save, pipe, out, denoise_s, steps,
+                                 keyframes, src, kfs, kf_idx)
+
     # compose the full-video number from the measured VAE/T5 artifacts:
     # source encode (73f) + K independent 1-frame encodes + decode + 2 T5
     if all(k in art for k in ("vae_encode_ms", "vae_decode_ms",
@@ -172,6 +183,56 @@ def measure_editor(save, steps, keyframes, art):
     del pipe
     gc.collect()
     return denoise_s
+
+
+def _measure_editor_teacache(save, pipe, out, denoise_s, steps, keyframes,
+                             src, kfs, kf_idx):
+    """TeaCache over the editor's joint [main|edit] forward (round-5: the
+    editor accepts tea_cache_l1_thresh like the base pipeline)."""
+    import jax.numpy as jnp
+    from video_styler_tpu.pipelines import wan_video as W
+    skips = {"n": 0}
+    orig_check = W.TeaCache.check
+
+    def counting_check(self, t_mod):
+        r = orig_check(self, t_mod)
+        if r and self.previous_residual is not None:
+            skips["n"] += 1
+        return r
+    W.TeaCache.check = counting_check
+    try:
+        tc_kw = dict(negative_prompt="bad", source_video=src,
+                     edited_keyframes=kfs, keyframe_indices=kf_idx, seed=7,
+                     height=PIX[0], width=PIX[1], num_frames=N_FRAMES,
+                     cfg_scale=5.0, num_inference_steps=steps, tiled=False,
+                     verbose=False, return_latents=True,
+                     tea_cache_l1_thresh=0.05,
+                     tea_cache_model_id="Wan2.1-T2V-1.3B")
+        _log("editor+teacache: thresh=0.05 warm-up (skip-path compile), "
+             "then timed")
+        _sync(pipe("measure", **tc_kw))
+        skips["n"] = 0
+        t0 = time.perf_counter()
+        out_tc = pipe("measure", **tc_kw)
+        _sync(out_tc)
+        tc_s = time.perf_counter() - t0
+        drift = float(jnp.mean(jnp.abs(out_tc.astype(jnp.float32)
+                                       - out.astype(jnp.float32))))
+        scale = float(jnp.mean(jnp.abs(out.astype(jnp.float32))))
+        save["editor_teacache_denoise_s"] = round(tc_s, 1)
+        save["editor_teacache_steps_skipped"] = skips["n"]
+        save["editor_teacache_total_branch_calls"] = 2 * steps
+        save["editor_teacache_latent_rel_drift"] = round(drift / scale, 4)
+        save["editor_teacache_speedup"] = round(denoise_s / tc_s, 3)
+        save["editor_teacache_note"] = (
+            f"{steps}-step CFG editor denoise with "
+            f"tea_cache_l1_thresh=0.05 on the JOINT [main|{keyframes}kf] "
+            f"sequence: {skips['n']}/{2 * steps} branch forwards skipped; "
+            "velocity correction still applied every step on the "
+            "approximated v (random-weight trajectory point, same caveat "
+            "as teacache_note)")
+    finally:
+        W.TeaCache.check = orig_check
 
 
 def measure_enhancer(save, art):
@@ -288,6 +349,9 @@ def main():
     ap.add_argument("--skip-editor", action="store_true")
     ap.add_argument("--skip-enhancer", action="store_true")
     ap.add_argument("--skip-teacache", action="store_true")
+    ap.add_argument("--editor-teacache", action="store_true",
+                    help="measure editor+TeaCache even with --skip-teacache "
+                         "(which otherwise disables both TeaCache stages)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke of the harness (tiny config/shapes)")
     ap.add_argument("--out", default=os.path.join(
@@ -317,7 +381,9 @@ def main():
     if not args.skip_teacache:
         measure_teacache(save, args.steps)
     if not args.skip_editor:
-        measure_editor(save, args.steps, args.keyframes, art)
+        measure_editor(save, args.steps, args.keyframes, art,
+                       with_teacache=(not args.skip_teacache
+                                      or args.editor_teacache))
     _log(f"done -> {args.out}")
     print(json.dumps(save.out, indent=1))
 

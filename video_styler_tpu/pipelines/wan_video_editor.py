@@ -98,6 +98,8 @@ class WanVideoEditorPipeline(WanVideoPipeline):
         progress_bar_cmd=None,
         verbose: bool = True,
         return_latents: bool = False,
+        tea_cache_l1_thresh: Optional[float] = None,
+        tea_cache_model_id: str = "",
     ):
         if source_video is None or edited_keyframes is None or keyframe_indices is None:
             raise ValueError("source_video, edited_keyframes, and keyframe_indices are required")
@@ -132,6 +134,18 @@ class WanVideoEditorPipeline(WanVideoPipeline):
 
         rope_ids = self.construct_rope_ids(t_lat, kf_lat)
 
+        # TeaCache per CFG branch — the skip decision rides the timestep
+        # modulation exactly as in the base pipeline; a skipped step reuses
+        # the cached trunk residual for the JOINT [main | edit] sequence, so
+        # the velocity correction still runs every step on the approximated v.
+        tc_posi = tc_nega = None
+        if tea_cache_l1_thresh is not None:
+            from .wan_video import TeaCache
+            tc_posi = TeaCache(num_inference_steps, tea_cache_l1_thresh,
+                               tea_cache_model_id)
+            tc_nega = TeaCache(num_inference_steps, tea_cache_l1_thresh,
+                               tea_cache_model_id)
+
         steps = range(len(self.scheduler.timesteps))
         if progress_bar_cmd is not None:
             steps = progress_bar_cmd(steps)
@@ -141,11 +155,11 @@ class WanVideoEditorPipeline(WanVideoPipeline):
             z_concat = jnp.concatenate([z_main, z_edit], axis=2)
             v_posi = self._branch_forward("dit", self.dit_params, None,
                                           z_concat, timestep, ctx_posi, None,
-                                          1.0, None, rope_indices=rope_ids)
+                                          1.0, tc_posi, rope_indices=rope_ids)
             if cfg_scale != 1.0:
                 v_nega = self._branch_forward("dit", self.dit_params, None,
                                               z_concat, timestep, ctx_nega, None,
-                                              1.0, None, rope_indices=rope_ids)
+                                              1.0, tc_nega, rope_indices=rope_ids)
                 v = v_nega + cfg_scale * (v_posi - v_nega)
             else:
                 v = v_posi
