@@ -131,6 +131,23 @@ def build_result(m, extra):
         extra["ditto14b_projected_video_s_v5p8"] = round(
             4 * (2 // branches) * pass_s / v5p_scale + vae_t5_s, 1)
 
+    # per-run variance diagnostic: the tunnel occasionally injects one
+    # multi-second hiccup into a pass (e.g. 12.3 s vs the 9.22 s median that
+    # has held across r3-r5). Surface the median-composed recipe so a noisy
+    # run is not misread as a code regression — compare medians first.
+    times = m.get("int4_pass_times")
+    if times and len(times) >= 4:
+        med = sorted(times)[len(times) // 2]
+        outlier_s = sum(times) - med * len(times)
+        extra["int4_pass_median_s"] = round(med, 2)
+        extra["recipe_video_s_median_composed"] = round(
+            recipe_s - outlier_s, 1)
+        extra["pass_variance_note"] = (
+            "recipe_video_s_median_composed = headline minus "
+            "(sum(pass_times) - median*n): the same run with per-pass "
+            "tunnel hiccups removed; median pass is the stable "
+            "code-regression signal")
+
     # bf16 full-quality grounding from the measured streamed pass
     bf16_pass = m.get("bf16_pass_s")
     if bf16_pass:
